@@ -1,0 +1,30 @@
+"""TPU-native point-cloud ops (dense-XLA with Pallas fast paths).
+
+Replaces the reference's CUDA functional backend
+(`grasp_ldm/models/modules/ext/pvcnn/modules/functional/`).
+"""
+
+from .neighborhood import (
+    ball_query,
+    group_points,
+    pairwise_sq_dists,
+    three_nn_interpolate,
+)
+from .sampling import furthest_point_sample, gather_points
+from .voxel import (
+    avg_voxelize,
+    normalize_coords_for_voxelization,
+    trilinear_devoxelize,
+)
+
+__all__ = [
+    "ball_query",
+    "group_points",
+    "pairwise_sq_dists",
+    "three_nn_interpolate",
+    "furthest_point_sample",
+    "gather_points",
+    "avg_voxelize",
+    "normalize_coords_for_voxelization",
+    "trilinear_devoxelize",
+]

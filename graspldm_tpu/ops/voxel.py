@@ -1,0 +1,174 @@
+"""Voxelization / devoxelization ops, TPU-native.
+
+These replace the reference's CUDA scatter kernels
+(`grasp_ldm/models/modules/ext/pvcnn/modules/functional/src/voxelization/vox.cu`,
+`.../interpolate/trilinear_devox.cu`) with XLA-friendly dense formulations:
+
+* ``avg_voxelize`` — scatter-mean of point features into a ``r^3`` grid. On TPU
+  the fastest formulation at PVCNN sizes (N=1024, r in {24, 12} ->
+  V in {13824, 1728}) is a one-hot matmul that runs on the MXU and whose
+  gradient is the transposed matmul (a gather) — no atomics, fully
+  deterministic. A ``segment_sum`` path is kept for cross-checking.
+* ``trilinear_devoxelize`` — 8-corner gather with trilinear weights,
+  differentiable through both features and (not needed but free) weights.
+
+Layouts are feature-last: features ``[B, N, C]``, grids ``[B, V, C]`` with flat
+voxel index ``v = x*r^2 + y*r + z`` (matching `vox.cu:19-34`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "normalize_coords_for_voxelization",
+    "avg_voxelize",
+    "trilinear_devoxelize",
+]
+
+
+def normalize_coords_for_voxelization(
+    coords: jax.Array,
+    resolution: int,
+    normalize: bool = True,
+    eps: float = 0.0,
+) -> jax.Array:
+    """Map raw point coords to continuous voxel coords in ``[0, r-1]``.
+
+    Mirrors `ext/pvcnn/modules/voxelization.py:17-33`: center on the per-cloud
+    mean; if ``normalize``, scale by twice the max point radius and shift by
+    0.5, else assume coords already live in [-1, 1] and map to [0, 1]; then
+    scale by ``r`` and clamp to ``[0, r-1]``.
+
+    Args:
+        coords: ``[B, N, 3]`` point coordinates.
+    Returns:
+        ``[B, N, 3]`` float voxel coords in ``[0, r-1]``.
+    """
+    coords = jax.lax.stop_gradient(coords)
+    centered = coords - jnp.mean(coords, axis=1, keepdims=True)
+    if normalize:
+        radius = jnp.max(
+            jnp.linalg.norm(centered, axis=-1, keepdims=True), axis=1, keepdims=True
+        )
+        norm_coords = centered / (radius * 2.0 + eps) + 0.5
+    else:
+        norm_coords = (centered + 1.0) / 2.0
+    return jnp.clip(norm_coords * resolution, 0.0, resolution - 1.0)
+
+
+def _flat_voxel_index(vox_coords: jax.Array, resolution: int) -> jax.Array:
+    r = resolution
+    return (
+        vox_coords[..., 0] * (r * r) + vox_coords[..., 1] * r + vox_coords[..., 2]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "method"))
+def avg_voxelize(
+    features: jax.Array,
+    vox_coords: jax.Array,
+    resolution: int,
+    method: str = "matmul",
+) -> jax.Array:
+    """Scatter-mean point features into a voxel grid.
+
+    Args:
+        features: ``[B, N, C]`` per-point features.
+        vox_coords: ``[B, N, 3]`` float voxel coords in ``[0, r-1]`` (rounded
+            here, matching the reference which rounds before the kernel) or
+            integer coords.
+        resolution: grid resolution ``r``.
+        method: "matmul" (MXU one-hot formulation, default) or "scatter"
+            (``segment_sum``; reference semantics cross-check).
+
+    Returns:
+        ``[B, V, C]`` voxel grid, ``V = r^3``; empty voxels are zero
+        (count==0 -> 0, matching `vox.cu:47-73`).
+    """
+    r = resolution
+    V = r * r * r
+    if jnp.issubdtype(vox_coords.dtype, jnp.floating):
+        vox_int = jnp.round(vox_coords).astype(jnp.int32)
+    else:
+        vox_int = vox_coords.astype(jnp.int32)
+    flat = _flat_voxel_index(vox_int, r)  # [B, N]
+
+    if method == "matmul":
+        # One-hot [B, N, V] matmul: sums and counts in a single MXU pass.
+        onehot = jax.nn.one_hot(flat, V, dtype=features.dtype)  # [B, N, V]
+        # HIGHEST precision: one-hot rows must pick out features exactly;
+        # the default TPU matmul precision multiplies in bf16.
+        sums = jnp.einsum(
+            "bnv,bnc->bvc",
+            onehot,
+            features,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = jnp.sum(onehot, axis=1)  # [B, V]
+        out = sums / jnp.maximum(counts, 1.0)[..., None]
+        return out.astype(features.dtype)
+    elif method == "scatter":
+        def per_batch(flat_b, feat_b):
+            sums = jax.ops.segment_sum(feat_b, flat_b, num_segments=V)
+            counts = jax.ops.segment_sum(
+                jnp.ones((feat_b.shape[0],), feat_b.dtype), flat_b, num_segments=V
+            )
+            return sums / jnp.maximum(counts, 1.0)[:, None]
+
+        return jax.vmap(per_batch)(flat, features)
+    else:
+        raise ValueError(f"Unknown avg_voxelize method: {method}")
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def trilinear_devoxelize(
+    voxel_features: jax.Array,
+    coords: jax.Array,
+    resolution: int,
+) -> jax.Array:
+    """Trilinear interpolation of voxel features at continuous point coords.
+
+    Matches `trilinear_devox.cu:38-106`: corner ``hi = lo + 1`` collapses to
+    ``lo`` when the fractional part is exactly zero (weight is zero there, so a
+    clamped ``min(lo+1, r-1)`` is numerically identical and branch-free).
+
+    Args:
+        voxel_features: ``[B, V, C]`` flat voxel grid (``V = r^3``).
+        coords: ``[B, N, 3]`` float voxel coords in ``[0, r-1]``.
+    Returns:
+        ``[B, N, C]`` interpolated per-point features.
+    """
+    r = resolution
+    coords = jax.lax.stop_gradient(coords)
+    lo = jnp.floor(coords)
+    frac = coords - lo  # [B, N, 3]
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, r - 1)
+
+    w1 = frac  # weight toward hi corner
+    w0 = 1.0 - frac
+
+    out = None
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                ix = hi_i[..., 0] if cx else lo_i[..., 0]
+                iy = hi_i[..., 1] if cy else lo_i[..., 1]
+                iz = hi_i[..., 2] if cz else lo_i[..., 2]
+                w = (
+                    (w1[..., 0] if cx else w0[..., 0])
+                    * (w1[..., 1] if cy else w0[..., 1])
+                    * (w1[..., 2] if cz else w0[..., 2])
+                )
+                flat = ix * (r * r) + iy * r + iz  # [B, N]
+                corner = jnp.take_along_axis(
+                    voxel_features, flat[..., None], axis=1
+                )  # [B, N, C]
+                term = corner * w[..., None].astype(voxel_features.dtype)
+                out = term if out is None else out + term
+    return out
