@@ -1,0 +1,72 @@
+"""Benchmark: grasps/sec/chip at 100 DDIM steps on the flagship LDM.
+
+Protocol (BASELINE.md north star): batched LDM generation — PVCNN-encode B
+point clouds (1024 pts), reverse-diffuse B*G grasp latents for 100 DDIM
+steps, decode to poses — all in one jitted program. Reports grasps/sec on the
+local chip; ``vs_baseline`` is measured against the v5e-8 north-star target
+of 50k grasps/sec, i.e. 6250 grasps/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+PER_CHIP_TARGET = 50_000 / 8  # north-star v5e-8 target, per chip
+
+
+def main():
+    from graspldm_tpu.flagship import build_flagship, jit_init
+    from graspldm_tpu.inference import ldm_generate
+
+    vae, ddm, diffusion = build_flagship()
+
+    B, N, G, STEPS = 8, 1024, 1024, 100
+    rng = jax.random.PRNGKey(0)
+    pc = jax.random.normal(rng, (B, N, 3))
+    grasps = jax.random.normal(rng, (B * 2, 7))
+
+    vae_vars = jit_init(vae, {"params": rng, "dropout": rng}, pc, grasps)
+    x = jnp.zeros((2, 1, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    zc = jnp.zeros((2, 3, 64))
+    ddm_vars = jit_init(ddm, {"params": rng, "dropout": rng}, x, t, zc)
+
+    @jax.jit
+    def generate(vv, dv, pc, key):
+        return ldm_generate(
+            vae, vv, ddm, dv, diffusion, pc, G, key,
+            num_inference_steps=STEPS, sampler="ddim",
+        )
+
+    # Warmup / compile
+    out = generate(vae_vars, ddm_vars, pc, rng)
+    jax.block_until_ready(out["grasps"])
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = generate(vae_vars, ddm_vars, pc, jax.random.PRNGKey(i))
+    jax.block_until_ready(out["grasps"])
+    dt = (time.perf_counter() - t0) / iters
+
+    grasps_per_sec = B * G / dt
+    print(
+        json.dumps(
+            {
+                "metric": "grasps_per_sec_per_chip_100_ddim_steps",
+                "value": round(grasps_per_sec, 1),
+                "unit": "grasps/s",
+                "vs_baseline": round(grasps_per_sec / PER_CHIP_TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Full point-cloud flagship config (z4, pc64, 180k steps).
+
+Mirror of the reference experiment
+`configs/generation/fpc/fpc_1a_latentc3_z4_pc64_180k.py`: PVCNN encoder with
+0.75 channel/voxel scaling; grasp latent 4; pc latent [3, 64]; 180k steps per
+stage; DDPM T=1000 with linear betas 5e-5..1e-3, fixed_large, l2.
+"""
+
+max_steps = 180_000
+batch_size = 10
+seed = 0
+
+root_data_dir = "data/ACRONYM"
+
+pc_num_points = 1024
+pc_latent_dims = 64
+pc_latent_channels = 3
+grasp_latent_dims = 4
+num_output_qualities = 0
+dropout = 0.1
+
+flagship_args = dict(
+    pc_num_points=pc_num_points,
+    pc_latent_size=pc_latent_dims,
+    pc_latent_channels=pc_latent_channels,
+    grasp_latent_size=grasp_latent_dims,
+    grasp_representation_dims=7,
+    num_output_qualities=None,
+    block_channels=(32, 64, 128, 256),
+    resnet_block_groups=4,
+    dropout=dropout,
+    pc_scale_channels=0.75,
+    pc_scale_voxel_resolution=0.75,
+    diffusion_timesteps=1000,
+    beta_start=5e-5,
+    beta_end=1e-3,
+    beta_schedule="linear",
+    variance_type="fixed_large",
+    diffusion_loss="l2",
+)
+
+kl = dict(num_cycles=1, ratio=0.5, start=1e-7, stop=0.1)
+
+augs_config = [
+    dict(type="RandomRotation", args=dict(p=0.5, max_angle=180, is_degree=True)),
+    dict(type="PointcloudJitter", args=dict(p=1, sigma=0.005, clip=0.005)),
+    dict(type="RandomPointcloudDropout", args=dict(p=0.5, max_dropout_ratio=0.4)),
+]
+
+object_categories = [
+    "Cup", "Mug", "Fork", "Hat", "Bottle", "Bowl", "Car", "Donut", "Laptop",
+    "MousePad", "Pencil", "Plate", "ScrewDriver", "WineBottle", "Backpack",
+    "Bag", "Banana", "Battery", "BeanBag", "Bear", "Book", "Books", "Camera",
+    "CerealBox", "Cookie", "Hammer", "Hanger", "Knife", "MilkCarton",
+    "Painting", "PillBottle", "Plant", "PowerSocket", "PowerStrip", "PS3",
+    "PSP", "Ring", "Scissors", "Shampoo", "Shoes", "Sheep", "Shower", "Sink",
+    "SoapBottle", "SodaCan", "Spoon", "Statue", "Teacup", "Teapot",
+    "ToiletPaper", "ToyFigure", "Wallet", "WineGlass", "Cow", "Cat", "Dog",
+    "Pizza", "Elephant", "Donkey", "RubiksCube", "Tank", "Truck", "USBStick",
+]
+
+data = dict(
+    train=dict(
+        type="AcronymShapenetPointclouds",
+        args=dict(
+            data_root_dir=root_data_dir,
+            batch_num_points_per_pc=pc_num_points,
+            batch_num_grasps_per_pc=100,
+            rotation_repr="mrp",
+            augs_config=augs_config,
+            split="train",
+            batch_failed_grasps_ratio=0.0,
+            use_dataset_statistics_for_norm=False,
+            filter_categories=object_categories,
+            num_repeat_dataset=10,
+        ),
+    ),
+)
+
+optimizer = dict(
+    initial_lr=0.001,
+    grad_clip=0.5,
+    scheduler=dict(
+        type="MultiStepLR",
+        args=dict(milestones=[max_steps // 3, 2 * max_steps // 3], gamma=0.1),
+    ),
+)
+
+trainer = dict(
+    max_steps=max_steps,
+    batch_size=batch_size,
+    log_every_n_steps=100,
+    ema=dict(beta=0.990, update_after_step=1000),
+)

@@ -1,0 +1,290 @@
+"""ACRONYM grasp dataset: h5 loading, full-pc sampling, batching.
+
+Rebuild of `grasp_ldm/dataset/acronym/acronym.py:19-513` and
+`acronym_pointclouds.py:13-425` as a host-side numpy pipeline feeding
+fixed-shape device batches:
+
+  * grasp h5 schema: ``grasps/transforms [G,4,4]``,
+    ``grasps/qualities/flex/*`` (incl. ``object_in_gripper`` success flag),
+    ``object/scale``; mesh path derived from the h5 filename
+    ``{Category}_{shapenet_id}_{scale}.h5 -> meshes/{Category}/{id}.obj``
+    (`acronym.py:259-271`).
+  * grasps split good/bad by ``object_in_gripper``; qualities are negated
+    (lower-is-better in raw ACRONYM) and min-max normalized per object
+    (`acronym.py:372-380`); objects with too few good grasps are dropped
+    (`acronym.py:368-370`).
+  * per item: sample N surface points, pick G grasps (optionally mixing a
+    ratio of failed grasps labeled 0), augment, center on the pc mean and
+    apply the fixed normalization (`acronym_pointclouds.py:230-376`).
+
+Everything is preloaded to RAM (the reference does the same) and every
+batch has static shapes [B, N, 3] / [B, G, 7(+nq)] so the device program
+never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from ..config import DATASETS
+from ..utils.normalization import (
+    ROTATION_SCALE_FACTOR,
+    TRANSLATION_SCALE_FACTOR,
+)
+from .augmentations import AugmentationPipeline, build_augmentations
+from .mesh import Mesh, load_obj
+
+__all__ = [
+    "load_data_splits",
+    "ObjectGrasps",
+    "AcronymShapenetPointclouds",
+    "minmax_normalize",
+]
+
+
+def minmax_normalize(
+    x: np.ndarray, axis: int = 0, v_min: float = 0.0, v_max: float = 1.0
+) -> np.ndarray:
+    """Per-column min-max to [v_min, v_max] (`utils/torch_utils.py:40-58`)."""
+    lo = x.min(axis=axis, keepdims=True)
+    hi = x.max(axis=axis, keepdims=True)
+    span = np.where(hi - lo > 0, hi - lo, 1.0)
+    return (x - lo) / span * (v_max - v_min) + v_min
+
+
+def load_data_splits(root_dir: str) -> Dict[str, Dict[str, List[str]]]:
+    """``{root}/splits/{Category}.json`` -> {category: {train: [...], test: [...]}}."""
+    split_dict: Dict[str, Dict[str, List[str]]] = {}
+    for split_p in glob.glob(os.path.join(root_dir, "splits/*.json")):
+        category = os.path.basename(split_p).rsplit(".json", 1)[0]
+        with open(split_p) as f:
+            splits = json.load(f)
+        split_dict[category] = {
+            k: [p.replace(".json", ".h5") for p in v] for k, v in splits.items()
+        }
+    return split_dict
+
+
+def mesh_path_for_grasp_file(root_dir: str, grasp_filename: str) -> str:
+    base = os.path.basename(grasp_filename)
+    cat, shapenet_id = base.split("_")[0], base.split("_")[1]
+    return os.path.join(root_dir, "meshes", cat, shapenet_id + ".obj")
+
+
+@dataclasses.dataclass
+class ObjectGrasps:
+    """Preloaded per-object annotations (tmrp layout [t(3), mrp(3)])."""
+
+    grasps: np.ndarray  # [Gg, 6] successful
+    grasp_qualities: np.ndarray  # [Gg, nq]
+    bad_grasps: np.ndarray  # [Gb, 6]
+    bad_grasp_qualities: np.ndarray  # [Gb, nq]
+    mesh_path: str
+    mesh_category: str
+    obj_scale: float
+    quality_order: Tuple[str, ...]
+
+
+def _H_to_tmrp_np(H: np.ndarray) -> np.ndarray:
+    if H.shape[0] == 0:
+        return np.zeros((0, 6), np.float32)
+    mrp = Rotation.from_matrix(H[:, :3, :3]).as_mrp()
+    return np.concatenate([H[:, :3, 3], mrp], axis=-1).astype(np.float32)
+
+
+def load_object_grasps(
+    grasp_fp: str, mesh_fp: str, min_num_grasps: int = 10
+) -> Optional[ObjectGrasps]:
+    """Load one grasp h5 file; None if below the min-grasp threshold."""
+    with h5py.File(grasp_fp, "r") as data:
+        obj_scale = float(np.asarray(data["object/scale"]))
+        transforms = np.asarray(data["grasps/transforms"], dtype=np.float64)
+        qualities_grp = data["grasps/qualities/flex"]
+        success = np.asarray(qualities_grp["object_in_gripper"])
+        q_keys = sorted(k for k in qualities_grp.keys() if k != "object_in_gripper")
+        quals = (
+            np.stack([np.asarray(qualities_grp[k]) for k in q_keys], axis=-1)
+            if q_keys
+            else np.zeros((len(success), 0))
+        )
+
+    good = success > 0
+    if good.sum() <= min_num_grasps:
+        return None
+    good_q = minmax_normalize(-quals[good]) if quals.shape[-1] else quals[good]
+    bad_q = minmax_normalize(-quals[~good]) if quals.shape[-1] else quals[~good]
+    return ObjectGrasps(
+        grasps=_H_to_tmrp_np(transforms[good]),
+        grasp_qualities=good_q.astype(np.float32),
+        bad_grasps=_H_to_tmrp_np(transforms[~good]),
+        bad_grasp_qualities=bad_q.astype(np.float32),
+        mesh_path=mesh_fp,
+        mesh_category=os.path.basename(os.path.dirname(mesh_fp)),
+        obj_scale=obj_scale,
+        quality_order=tuple(q_keys),
+    )
+
+
+@DATASETS.register
+class AcronymShapenetPointclouds:
+    """Full point-cloud training dataset (mesh surface samples).
+
+    Produces per-item dicts:
+      ``pc [N, 3]`` normalized; ``grasps [G, 7(+nq)]`` rows
+      ``[tmrp(6), success(1), qualities…]`` normalized;
+      ``metas`` with pc/grasp mean+std for unnormalization.
+    """
+
+    def __init__(
+        self,
+        data_root_dir: str,
+        split: str = "train",
+        filter_categories: Optional[Sequence[str]] = None,
+        rotation_repr: str = "mrp",
+        augs_config: Optional[List[dict]] = None,
+        batch_num_points_per_pc: int = 1024,
+        batch_num_grasps_per_pc: int = 20,
+        batch_failed_grasps_ratio: float = 0.3,
+        load_fixed_subset_grasps_per_obj: Optional[int] = None,
+        use_dataset_statistics_for_norm: bool = False,
+        num_repeat_dataset: int = 2,
+        min_num_grasps: int = 10,
+        seed: int = 0,
+    ):
+        assert rotation_repr == "mrp", "tmrp is the supported representation"
+        self.root_dir = data_root_dir
+        self.split = split
+        self.num_points = batch_num_points_per_pc
+        self.num_grasps = batch_num_grasps_per_pc
+        self.failed_ratio = batch_failed_grasps_ratio
+        self.num_repeat = num_repeat_dataset
+        self.fixed_subset = load_fixed_subset_grasps_per_obj
+        self.augmentations: AugmentationPipeline = build_augmentations(augs_config)
+        self._rng = np.random.default_rng(seed)
+        self._mesh_cache: Dict[str, Mesh] = {}
+
+        splits = load_data_splits(data_root_dir)
+        if filter_categories is not None:
+            keep = set(filter_categories)
+            splits = {c: s for c, s in splits.items() if c in keep}
+
+        self.objects: List[ObjectGrasps] = []
+        for cat, cat_splits in sorted(splits.items()):
+            for fname in cat_splits.get(split, []):
+                grasp_fp = os.path.join(data_root_dir, "grasps", fname)
+                mesh_fp = mesh_path_for_grasp_file(data_root_dir, fname)
+                if not (os.path.exists(grasp_fp) and os.path.exists(mesh_fp)):
+                    continue
+                rec = load_object_grasps(grasp_fp, mesh_fp, min_num_grasps)
+                if rec is not None:
+                    self.objects.append(rec)
+        if not self.objects:
+            raise FileNotFoundError(
+                f"No usable ACRONYM objects under {data_root_dir} (split={split})"
+            )
+
+    def __len__(self) -> int:
+        return len(self.objects) * self.num_repeat
+
+    @property
+    def num_qualities(self) -> int:
+        return self.objects[0].grasp_qualities.shape[-1]
+
+    def _get_mesh(self, rec: ObjectGrasps) -> Mesh:
+        key = rec.mesh_path
+        if key not in self._mesh_cache:
+            self._mesh_cache[key] = load_obj(rec.mesh_path).scaled(rec.obj_scale)
+        return self._mesh_cache[key]
+
+    def _select_grasps(
+        self, rec: ObjectGrasps, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pick G grasps mixing good/bad; returns (tmrp [G,6], success [G], quals)."""
+        g_total = self.num_grasps
+        n_bad = int(round(g_total * self.failed_ratio))
+        n_bad = min(n_bad, len(rec.bad_grasps))
+        n_good = g_total - n_bad
+
+        gi = rng.choice(len(rec.grasps), size=n_good, replace=len(rec.grasps) < n_good)
+        tmrp = rec.grasps[gi]
+        quals = rec.grasp_qualities[gi]
+        success = np.ones((n_good,), np.float32)
+        if n_bad > 0:
+            bi = rng.choice(
+                len(rec.bad_grasps), size=n_bad, replace=len(rec.bad_grasps) < n_bad
+            )
+            tmrp = np.concatenate([tmrp, rec.bad_grasps[bi]], 0)
+            quals = np.concatenate([quals, rec.bad_grasp_qualities[bi]], 0)
+            success = np.concatenate([success, np.zeros((n_bad,), np.float32)])
+        perm = rng.permutation(g_total)
+        return tmrp[perm], success[perm], quals[perm]
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rec = self.objects[index % len(self.objects)]
+        rng = self._rng
+        mesh = self._get_mesh(rec)
+        pc = mesh.sample(self.num_points, rng)  # [N, 3]
+        tmrp, success, quals = self._select_grasps(rec, rng)
+
+        # augment (pc [1, N, 3] convention for pipeline)
+        pc, tmrp = self.augmentations(pc, tmrp, rng)
+
+        # center on pc mean
+        pc_mean = pc.mean(axis=0)
+        pc = pc - pc_mean
+        tmrp = tmrp.copy()
+        tmrp[:, :3] -= pc_mean
+
+        # fixed normalization
+        pc = pc / TRANSLATION_SCALE_FACTOR
+        tmrp[:, :3] /= TRANSLATION_SCALE_FACTOR
+        tmrp[:, 3:6] /= ROTATION_SCALE_FACTOR
+
+        grasps = np.concatenate([tmrp, success[:, None]], axis=-1)
+        if quals.shape[-1]:
+            grasps = np.concatenate([grasps, quals], axis=-1)
+
+        grasp_mean = np.concatenate([pc_mean, np.zeros(3)]).astype(np.float32)
+        grasp_std = np.array(
+            [TRANSLATION_SCALE_FACTOR] * 3 + [ROTATION_SCALE_FACTOR] * 3, np.float32
+        )
+        return {
+            "pc": pc.astype(np.float32),
+            "grasps": grasps.astype(np.float32),
+            "metas": {
+                "pc_mean": pc_mean.astype(np.float32),
+                "pc_std": np.full((3,), TRANSLATION_SCALE_FACTOR, np.float32),
+                "grasp_mean": grasp_mean,
+                "grasp_std": grasp_std,
+            },
+        }
+
+    def batches(
+        self, batch_size: int, *, shuffle: bool = True, drop_last: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield stacked numpy batches {pc [B,N,3], grasps [B,G,D], metas}."""
+        order = np.arange(len(self))
+        if shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                           batch_size):
+            idxs = order[start : start + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                break
+            items = [self[int(i)] for i in idxs]
+            yield {
+                "pc": np.stack([it["pc"] for it in items]),
+                "grasps": np.stack([it["grasps"] for it in items]),
+                "metas": {
+                    k: np.stack([it["metas"][k] for it in items])
+                    for k in items[0]["metas"]
+                },
+            }

@@ -1,0 +1,163 @@
+"""Host-side data augmentations (numpy).
+
+Rebuild of `grasp_ldm/dataset/augmentations.py:114-353`: joint SO(3) rotation
+of cloud + grasps, per-point jitter, random dropout (dropped points replaced
+by the first point so shapes stay static — a gift for XLA), tiny pose
+perturbations. Augmentations run on host in the input pipeline; each declares
+whether it transforms the pc, the grasps, or both, and the pipeline dispatches
+accordingly (`augmentations.py:16-29,300-353`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from ..config import AUGMENTATIONS
+
+__all__ = [
+    "BaseAugmentation",
+    "RandomRotation",
+    "PointcloudJitter",
+    "RandomPointcloudDropout",
+    "RandomTinyPosePerturbation",
+    "AugmentationPipeline",
+    "build_augmentations",
+]
+
+
+def _tmrp_to_H_np(tmrp: np.ndarray) -> np.ndarray:
+    H = np.tile(np.eye(4, dtype=tmrp.dtype), (tmrp.shape[0], 1, 1))
+    H[:, :3, 3] = tmrp[:, :3]
+    H[:, :3, :3] = Rotation.from_mrp(tmrp[:, 3:6]).as_matrix()
+    return H
+
+
+def _H_to_tmrp_np(H: np.ndarray) -> np.ndarray:
+    mrp = Rotation.from_matrix(H[:, :3, :3]).as_mrp()
+    return np.concatenate([H[:, :3, 3], mrp], axis=-1).astype(H.dtype)
+
+
+class BaseAugmentation:
+    transforms_pc = False
+    transforms_grasps = False
+
+
+@AUGMENTATIONS.register
+class RandomRotation(BaseAugmentation):
+    """Joint random rotation of pc and grasp poses. Reference `:114-153`."""
+
+    transforms_pc = True
+    transforms_grasps = True
+
+    def __init__(self, p: float = 0.5, max_angle: float = 180.0, is_degree: bool = True):
+        self.p = p
+        self.max_angle = np.radians(max_angle) if is_degree else max_angle
+
+    def __call__(
+        self, pc: np.ndarray, grasps: np.ndarray, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if rng.random() >= self.p:
+            return pc, grasps
+        axis = rng.random(3)
+        axis /= np.linalg.norm(axis)
+        angle = rng.random() * self.max_angle
+        R = Rotation.from_rotvec(axis * angle).as_matrix().astype(pc.dtype)
+        pc = pc @ R.T
+        H = _tmrp_to_H_np(grasps)
+        H4 = np.eye(4, dtype=pc.dtype)
+        H4[:3, :3] = R
+        return pc, _H_to_tmrp_np(H4[None] @ H)
+
+
+@AUGMENTATIONS.register
+class PointcloudJitter(BaseAugmentation):
+    """Clipped gaussian per-point jitter. Reference `:214-237`."""
+
+    transforms_pc = True
+
+    def __init__(self, p: float = 0.5, sigma: float = 0.01, clip: float = 0.05):
+        self.p = p
+        self.sigma = abs(sigma)
+        self.clip = clip
+
+    def __call__(self, pc: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if rng.random() >= self.p:
+            return pc
+        jitter = np.clip(
+            self.sigma * rng.standard_normal(pc.shape), -self.clip, self.clip
+        ).astype(pc.dtype)
+        return pc + jitter
+
+
+@AUGMENTATIONS.register
+class RandomPointcloudDropout(BaseAugmentation):
+    """Random dropout replacing dropped points with the first point.
+
+    Reference `:240-269` — keeps the point count static.
+    """
+
+    transforms_pc = True
+
+    def __init__(self, p: float = 0.7, max_dropout_ratio: float = 0.6):
+        self.p = p
+        self.max_dropout_ratio = max_dropout_ratio
+
+    def __call__(self, pc: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if rng.random() >= self.p:
+            return pc
+        n = pc.shape[-2]
+        out = pc.copy()
+        ratio = rng.random() * self.max_dropout_ratio
+        k = int(ratio * n)
+        if k > 0:
+            drop = rng.permutation(n)[:k]
+            out[..., drop, :] = out[..., 0:1, :]
+        return out
+
+
+@AUGMENTATIONS.register
+class RandomTinyPosePerturbation(BaseAugmentation):
+    """Small random translation noise on grasp poses. Reference `:156-168`."""
+
+    transforms_grasps = True
+
+    def __init__(self, max_perturb: float = 0.005):
+        self.max_perturb = max_perturb
+
+    def __call__(self, grasps: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        out = grasps.copy()
+        noise = (rng.random((grasps.shape[0], 3)) * 2 - 1) * self.max_perturb
+        out[:, :3] += noise.astype(grasps.dtype)
+        return out
+
+
+class AugmentationPipeline:
+    """Applies a sequence of augmentations, routing pc/grasp transforms."""
+
+    def __init__(self, augs: Sequence[BaseAugmentation]):
+        self.augs = list(augs)
+
+    def __call__(
+        self, pc: np.ndarray, grasps: np.ndarray, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        for aug in self.augs:
+            if aug.transforms_pc and aug.transforms_grasps:
+                pc, grasps = aug(pc, grasps, rng)
+            elif aug.transforms_pc:
+                pc = aug(pc, rng)
+            elif aug.transforms_grasps:
+                grasps = aug(grasps, rng)
+        return pc, grasps
+
+
+def build_augmentations(augs_config: Optional[List[dict]]) -> AugmentationPipeline:
+    if not augs_config:
+        return AugmentationPipeline([])
+    augs = []
+    for cfg in augs_config:
+        cls = AUGMENTATIONS.get(cfg["type"])
+        augs.append(cls(**cfg.get("args", {})))
+    return AugmentationPipeline(augs)

@@ -1,0 +1,83 @@
+"""Flagship model factory: the fpc_1a_latentc3_z4_pc64 GraspLDM configuration.
+
+One place that builds the full-pc VAE + latent DDM pair with the shipped
+config's hyperparameters (`configs/generation/fpc/fpc_1a_latentc3_z4_pc64_180k.py`):
+pc 1024 pts -> z_pc [3, 64]; grasp latent 4; linear betas 5e-5..1e-3, T=1000,
+fixed_large, epsilon prediction, l2 loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+
+from .diffusion import DiffusionSchedule, GaussianDiffusion1D
+from .models import GraspCVAE, GraspLatentDDM
+
+__all__ = ["FlagshipConfig", "build_flagship", "jit_init"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FlagshipConfig:
+    pc_num_points: int = 1024
+    pc_latent_size: int = 64
+    pc_latent_channels: int = 3
+    grasp_latent_size: int = 4
+    grasp_representation_dims: int = 7  # tmrp(6) + success(1)
+    num_output_qualities: Optional[int] = None
+    block_channels: Tuple[int, ...] = (32, 64, 128, 256)
+    resnet_block_groups: int = 4
+    dropout: Optional[float] = 0.1
+    pc_scale_channels: float = 0.75
+    pc_scale_voxel_resolution: float = 0.75
+    diffusion_timesteps: int = 1000
+    beta_start: float = 5e-5
+    beta_end: float = 1e-3
+    beta_schedule: str = "linear"
+    variance_type: str = "fixed_large"
+    diffusion_loss: str = "l2"
+
+
+def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
+    """Returns (vae, ddm, diffusion)."""
+    vae = GraspCVAE(
+        grasp_latent_size=cfg.grasp_latent_size,
+        pc_latent_size=cfg.pc_latent_size,
+        pc_latent_channels=cfg.pc_latent_channels,
+        grasp_representation_dims=cfg.grasp_representation_dims,
+        block_channels=cfg.block_channels,
+        resnet_block_groups=cfg.resnet_block_groups,
+        dropout=cfg.dropout,
+        num_output_qualities=cfg.num_output_qualities,
+        pc_num_points=cfg.pc_num_points,
+        pc_scale_channels=cfg.pc_scale_channels,
+        pc_scale_voxel_resolution=cfg.pc_scale_voxel_resolution,
+    )
+    ddm = GraspLatentDDM(
+        latent_in_features=cfg.grasp_latent_size,
+        pc_latent_size=cfg.pc_latent_size,
+        block_channels=cfg.block_channels,
+        resnet_block_groups=cfg.resnet_block_groups,
+        dropout=cfg.dropout,
+    )
+    schedule = DiffusionSchedule.create(
+        num_steps=cfg.diffusion_timesteps,
+        beta_schedule=cfg.beta_schedule,
+        beta_start=cfg.beta_start,
+        beta_end=cfg.beta_end,
+    )
+    diffusion = GaussianDiffusion1D(
+        schedule=schedule,
+        n_dims=cfg.grasp_latent_size,
+        loss_type=cfg.diffusion_loss,
+        variance_type=cfg.variance_type,
+    )
+    return vae, ddm, diffusion
+
+
+def jit_init(module, rngs, *args, **kwargs):
+    """Initialize module variables under one jit (fast on 1-CPU hosts)."""
+    fn = jax.jit(lambda r: module.init(r, *args, **kwargs))
+    return fn(rngs)

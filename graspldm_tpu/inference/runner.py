@@ -1,0 +1,197 @@
+"""High-level inference API: experiment discovery + checkpointed generation.
+
+Unifies the reference's duplicated inference stacks (`tools/inference.py` and
+`grasp_ldm/inference/` — SURVEY.md §2.2 flags the duplication) into one:
+
+  * :class:`ExperimentPaths` — config/checkpoint discovery per mode
+    (`tools/inference.py:97-158`).
+  * :class:`InferenceVAE` / :class:`InferenceLDM` — load weights (EMA by
+    default), build a test dataset, and run the jitted generation pipelines
+    from :mod:`graspldm_tpu.inference.pipeline`.
+
+Result dict schema matches `tools/inference.py:806-815`:
+``{grasps [B,G,4,4], grasp_tmrp, confidence, qualities, pc}``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import AcronymShapenetPointclouds
+from ..flagship import FlagshipConfig, build_flagship, jit_init
+from ..training import TrainState, build_optimizer, init_train_state
+from ..training.experiment import restore_checkpoint
+from ..utils.normalization import NormalizationMeta
+from .pipeline import ldm_generate, vae_generate
+
+__all__ = ["ExperimentPaths", "InferenceBase", "InferenceVAE", "InferenceLDM"]
+
+
+class ExperimentPaths:
+    """Resolve ``{exp_dir}/{mode}/*.py`` config and checkpoints."""
+
+    def __init__(self, exp_path: str, mode: str):
+        self.exp_path = exp_path
+        self.mode = mode
+        self.mode_dir = os.path.join(exp_path, mode)
+        if not os.path.isdir(self.mode_dir):
+            raise FileNotFoundError(f"No {mode} dir under {exp_path}")
+        cfgs = glob.glob(os.path.join(self.mode_dir, "*.py"))
+        self.config_path = cfgs[0] if cfgs else None
+        self.ckpt_path = os.path.join(self.mode_dir, "checkpoints", "last")
+        if not os.path.exists(self.ckpt_path):
+            raise FileNotFoundError(f"No checkpoint at {self.ckpt_path}")
+
+
+class InferenceBase:
+    """Shared model/dataset setup for both generation modes."""
+
+    def __init__(
+        self,
+        exp_path: str,
+        data_root: Optional[str] = None,
+        split: str = "test",
+        use_ema: bool = True,
+        num_inference_steps: int = 100,
+        sampler: str = "ddim",
+        build_dataset: bool = True,
+    ):
+        self.use_ema = use_ema
+        self.num_inference_steps = num_inference_steps
+        self.sampler = sampler
+
+        vae_paths = ExperimentPaths(exp_path, "vae")
+        self.cfg = (
+            Config.fromfile(vae_paths.config_path) if vae_paths.config_path else {}
+        )
+        self.model_cfg = FlagshipConfig(**self.cfg.get("flagship_args", {}))
+        self.vae, self.ddm, self.diffusion = build_flagship(self.model_cfg)
+
+        rng = jax.random.PRNGKey(0)
+        tx = build_optimizer(1e-3)
+        N = self.model_cfg.pc_num_points
+        pc = jnp.zeros((1, N, 3))
+        grasps = jnp.zeros((2, self.model_cfg.grasp_representation_dims))
+        template = init_train_state(self.vae, tx, rng, (pc, grasps), {"rng": rng})
+        vae_state = restore_checkpoint(vae_paths.ckpt_path, template)
+        self.vae_variables = self._variables_from_state(vae_state)
+
+        self.dataset = None
+        if build_dataset and (data_root or self.cfg.get("root_data_dir")):
+            ds_args = dict(self.cfg.get_path("data.train.args", {}) or {})
+            ds_args.pop("augs_config", None)  # no augmentation at test time
+            ds_args["split"] = split
+            if data_root:
+                ds_args["data_root_dir"] = data_root
+            if ds_args.get("data_root_dir") and os.path.isdir(
+                ds_args["data_root_dir"]
+            ):
+                ds_args.setdefault("num_repeat_dataset", 1)
+                self.dataset = AcronymShapenetPointclouds(**ds_args)
+
+    def _variables_from_state(self, state: TrainState) -> Dict[str, Any]:
+        params = (
+            state.ema_params
+            if (self.use_ema and state.ema_params is not None)
+            else state.params
+        )
+        v: Dict[str, Any] = {"params": params}
+        if state.batch_stats is not None:
+            v["batch_stats"] = state.batch_stats
+        if state.constants is not None:
+            v["constants"] = state.constants
+        return v
+
+    # -- data access --
+
+    def get_item(self, idx: int) -> Dict[str, np.ndarray]:
+        assert self.dataset is not None, "no dataset configured"
+        return self.dataset[idx]
+
+    def _meta_from_item(self, metas: Dict[str, np.ndarray]) -> NormalizationMeta:
+        return NormalizationMeta(
+            pc_mean=jnp.asarray(metas["pc_mean"])[None],
+            pc_std=jnp.asarray(metas["pc_std"])[None],
+            grasp_mean=jnp.asarray(metas["grasp_mean"])[None],
+            grasp_std=jnp.asarray(metas["grasp_std"])[None],
+        )
+
+    def infer(self, idx: int, num_grasps: int, rng: jax.Array) -> Dict[str, Any]:
+        """Generate grasps for dataset item ``idx``."""
+        item = self.get_item(idx)
+        pc = jnp.asarray(item["pc"])[None]  # [1, N, 3] normalized
+        meta = self._meta_from_item(item["metas"])
+        out = self.generate(pc, num_grasps, rng, meta)
+        out["pc"] = np.asarray(pc) * np.asarray(meta.pc_std)[:, None, :] + np.asarray(
+            meta.pc_mean
+        )[:, None, :]
+        return out
+
+    def infer_on_pointcloud(
+        self, pc_raw: np.ndarray, num_grasps: int, rng: jax.Array
+    ) -> Dict[str, Any]:
+        """Generate for a raw (metric) point cloud ``[N, 3]``.
+
+        Normalizes with the fixed stats (`tools/inference.py:658-666`).
+        """
+        from ..utils.normalization import normalize_pc_and_grasps
+
+        pc = jnp.asarray(pc_raw, jnp.float32)[None]
+        dummy = jnp.zeros((1, 1, 6))
+        pc_n, _, meta = normalize_pc_and_grasps(pc, dummy)
+        out = self.generate(pc_n, num_grasps, rng, meta)
+        out["pc"] = np.asarray(pc)
+        return out
+
+    def generate(self, pc, num_grasps, rng, meta):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class InferenceVAE(InferenceBase):
+    """VAE-prior generation (`tools/inference.py:669-815`)."""
+
+    def generate(self, pc, num_grasps, rng, meta):
+        out = vae_generate(self.vae, self.vae_variables, pc, num_grasps, rng, meta)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+class InferenceLDM(InferenceBase):
+    """Latent-diffusion generation (`tools/inference.py:401-666`)."""
+
+    def __init__(self, exp_path: str, **kwargs):
+        super().__init__(exp_path, **kwargs)
+        ddm_paths = ExperimentPaths(exp_path, "ddm")
+        rng = jax.random.PRNGKey(0)
+        tx = build_optimizer(1e-3)
+        D = self.model_cfg.grasp_latent_size
+        x = jnp.zeros((2, 1, D))
+        t = jnp.zeros((2,), jnp.int32)
+        zc = jnp.zeros(
+            (2, self.model_cfg.pc_latent_channels, self.model_cfg.pc_latent_size)
+        )
+        template = init_train_state(self.ddm, tx, rng, (x, t, zc))
+        ddm_state = restore_checkpoint(ddm_paths.ckpt_path, template)
+        self.ddm_variables = self._variables_from_state(ddm_state)
+
+    def generate(self, pc, num_grasps, rng, meta):
+        out = ldm_generate(
+            self.vae,
+            self.vae_variables,
+            self.ddm,
+            self.ddm_variables,
+            self.diffusion,
+            pc,
+            num_grasps,
+            rng,
+            num_inference_steps=self.num_inference_steps,
+            sampler=self.sampler,
+            meta=meta,
+        )
+        return {k: np.asarray(v) for k, v in out.items()}

@@ -166,7 +166,7 @@ class Block1D(nn.Module):
         scale_shift: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         x = WSConv1d(self.features, kernel_size=3, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
         if scale_shift is not None:
             x = film_scale_shift(x, *scale_shift)
         return nn.silu(x)

@@ -118,14 +118,14 @@ class PVConv(nn.Module):
         grid = nn.Conv(
             self.out_channels, (k, k, k), padding=k // 2, name="voxel_conv1"
         )(grid)
-        grid = nn.GroupNorm(num_groups=8, name="voxel_norm1")(grid)
+        grid = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="voxel_norm1")(grid)
         grid = nn.silu(grid)
         if self.dropout is not None:
             grid = nn.Dropout(rate=self.dropout, deterministic=not train)(grid)
         grid = nn.Conv(
             self.out_channels, (k, k, k), padding=k // 2, name="voxel_conv2"
         )(grid)
-        grid = nn.GroupNorm(num_groups=8, name="voxel_norm2")(grid)
+        grid = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="voxel_norm2")(grid)
         if self.use_attention:
             B = grid.shape[0]
             flat = grid.reshape(B, r * r * r, self.out_channels)
@@ -323,5 +323,5 @@ class _GlobalAttention(nn.Module):
         h = jnp.einsum("bij,bjc->bic", w, v, preferred_element_type=jnp.float32)
         h = nn.Dense(C, name="out")(h.astype(x.dtype))
         x = x + h
-        x = nn.GroupNorm(num_groups=self.num_groups, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, name="norm")(x)
         return nn.silu(x)

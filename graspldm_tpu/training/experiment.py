@@ -1,0 +1,80 @@
+"""Experiment directory layout + Orbax checkpointing.
+
+Rebuild of `grasp_ldm/trainers/experiment.py:7-118` and the PL ModelCheckpoint
+behavior (`grasp_ldm/trainers/grasp_generation_trainer.py:146-173`): an
+experiment dir ``{out_root}/{exp_name}/{model_mode}/`` holds ``checkpoints/``
+(``last`` + best-by-loss) and ``logs/``; the config file is copied next to the
+checkpoints so the dir is self-describing.
+
+Checkpoints are Orbax pytrees ``{params, ema_params, opt_state, batch_stats,
+constants, step}`` — the functional equivalent of the reference's dual-prefix
+torch checkpoints (`model.` / `ema_model.online_model.`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+__all__ = ["Experiment", "save_checkpoint", "restore_checkpoint"]
+
+
+class Experiment:
+    """Filesystem layout for a two-stage experiment."""
+
+    MODES = ("vae", "ddm", "elucidated_ddm", "classifier")
+
+    def __init__(self, out_root: str, exp_name: str, mode: str):
+        assert mode in self.MODES, f"mode must be one of {self.MODES}"
+        self.out_root = out_root
+        self.exp_name = exp_name
+        self.mode = mode
+        self.exp_dir = os.path.join(out_root, exp_name)
+        self.mode_dir = os.path.join(self.exp_dir, mode)
+        self.ckpt_dir = os.path.join(self.mode_dir, "checkpoints")
+        self.log_dir = os.path.join(self.mode_dir, "logs")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    def copy_config(self, config_path: str) -> None:
+        if config_path and os.path.exists(config_path):
+            shutil.copy(config_path, self.mode_dir)
+
+    def checkpoint_path(self, name: str = "last") -> str:
+        return os.path.join(self.ckpt_dir, name)
+
+    def sibling(self, mode: str) -> "Experiment":
+        """Experiment for another stage of the same run (e.g. vae for ddm)."""
+        return Experiment(self.out_root, self.exp_name, mode)
+
+    def log_metrics(self, step: int, metrics: dict) -> None:
+        """Append a CSV-ish JSONL metrics record."""
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            rec[k] = float(v) if np.isscalar(v) or hasattr(v, "item") else v
+        with open(os.path.join(self.log_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Save a TrainState with Orbax (overwrites)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, target: TrainState) -> TrainState:
+    """Restore a TrainState saved by :func:`save_checkpoint`."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=jax.device_get(target))

@@ -1,0 +1,234 @@
+"""Jitted train steps for the two training stages (VAE, then latent DDM).
+
+Rebuild of the reference trainers' per-step logic
+(`grasp_ldm/trainers/grasp_generation_trainer.py:82-110,204-328`,
+`grasp_ldm/models/grasp_vae.py:119-216`, `grasp_ldm/models/grasp_ldm.py:135-187`)
+as pure functions: one jitted step = forward + losses + grad + optimizer +
+EMA + metrics. Under a `jax.sharding.Mesh` the same step is data-parallel:
+batches are sharded on the leading axis, gradients are all-reduced by XLA
+inside `jit` (this replaces Lightning DDP + `sync_dist=True`,
+SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion import GaussianDiffusion1D
+from ..losses import (
+    ClassificationLoss,
+    GraspReconstructionLoss,
+    QualityLoss,
+    VAELatentLoss,
+)
+from .ema import EMAConfig, ema_update
+from .state import TrainState
+
+__all__ = ["VAELossConfig", "make_vae_train_step", "make_ddm_train_step",
+           "init_train_state"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VAELossConfig:
+    """Loss weights mirroring `configs/generation/fpc/...:78-98`."""
+
+    translation_weight: float = 1.0
+    rotation_weight: float = 1.0
+    kl: VAELatentLoss = VAELatentLoss(
+        cyclical_annealing=True,
+        num_steps=180_000,
+        num_cycles=1,
+        ratio=0.5,
+        start=1e-7,
+        stop=0.1,
+    )
+    classification_weight: Optional[float] = 0.1
+    quality_weight: Optional[float] = None
+
+
+def init_train_state(
+    module,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    example_args: tuple,
+    example_kwargs: Optional[dict] = None,
+    with_ema: bool = True,
+) -> TrainState:
+    """Initialize module variables and optimizer state."""
+    variables = module.init(
+        {"params": rng, "dropout": rng}, *example_args, **(example_kwargs or {})
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if with_ema else None,
+        batch_stats=variables.get("batch_stats"),
+        constants=variables.get("constants"),
+    )
+
+
+def make_vae_train_step(
+    vae,
+    tx: optax.GradientTransformation,
+    loss_cfg: VAELossConfig = VAELossConfig(),
+    ema_cfg: Optional[EMAConfig] = EMAConfig(),
+) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
+    """Stage-1 step: grasp reconstruction + annealed KL + success BCE.
+
+    Batch: ``pc [B, N, 3]``, ``grasps [B, G, 7(+nq)]`` (normalized rows
+    ``[tmrp(6), success(1), qualities...]``).
+    """
+    recon = GraspReconstructionLoss(
+        translation_weight=loss_cfg.translation_weight,
+        rotation_weight=loss_cfg.rotation_weight,
+    )
+    cls_loss = (
+        ClassificationLoss(weight=loss_cfg.classification_weight)
+        if loss_cfg.classification_weight is not None
+        else None
+    )
+    qual_loss = (
+        QualityLoss(weight=loss_cfg.quality_weight)
+        if loss_cfg.quality_weight is not None
+        else None
+    )
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        pc = batch["pc"]
+        grasps = batch["grasps"]
+        bg = grasps.reshape(-1, grasps.shape[-1])  # [B*G, D]
+        k_reparam, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            if state.constants is not None:
+                variables["constants"] = state.constants
+            (out, (mu, logvar)), updates = vae.apply(
+                variables,
+                pc,
+                bg,
+                rng=k_reparam,
+                train=True,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            tmrp_pred, cls_pred = out[0], out[1]
+
+            metrics = {}
+            l_recon = recon(tmrp_pred, bg[..., :6])
+            kl_w, kl_raw = loss_cfg.kl(mu, logvar, step=state.step)
+            loss = l_recon + kl_w
+            metrics["reconstruction_loss"] = l_recon
+            metrics["latent_loss"] = kl_w
+            metrics["unweighted_kld"] = kl_raw
+            if cls_loss is not None:
+                l_cls = cls_loss(cls_pred.squeeze(-1), bg[..., 6])
+                loss = loss + l_cls
+                metrics["classification_loss"] = l_cls
+            if qual_loss is not None and len(out) > 2:
+                l_q = qual_loss(out[2], bg[..., 7:])
+                loss = loss + l_q
+                metrics["quality_loss"] = l_q
+            metrics["loss"] = loss
+            return loss, (metrics, updates.get("batch_stats"))
+
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
+        new_ema = state.ema_params
+        if ema_cfg is not None and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, new_step, ema_cfg)
+        new_state = state.replace(
+            step=new_step,
+            params=new_params,
+            opt_state=new_opt,
+            ema_params=new_ema,
+            batch_stats=new_bs if new_bs is not None else state.batch_stats,
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_ddm_train_step(
+    vae,
+    ddm,
+    diffusion: GaussianDiffusion1D,
+    tx: optax.GradientTransformation,
+    vae_variables: Optional[dict] = None,
+    ema_cfg: Optional[EMAConfig] = EMAConfig(),
+    loss_weight: float = 1.0,
+) -> Callable:
+    """Stage-2 step: epsilon-prediction loss on frozen-VAE latents.
+
+    The frozen VAE (`grasp_ldm.py:128-133,159-163`) enters as a closed-over
+    variable dict (or via ``batch["vae_variables"]`` when None here): its
+    encode runs under ``stop_gradient`` in eval mode, so the optimizer pytree
+    only ever sees denoiser parameters — the functional equivalent of
+    `requires_grad=False`.
+    """
+
+    def step_fn(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        frozen_vae: Optional[dict] = None,
+    ):
+        vv = frozen_vae if frozen_vae is not None else vae_variables
+        assert vv is not None, "frozen VAE variables required"
+        pc = batch["pc"]
+        grasps = batch["grasps"]
+        bg = grasps.reshape(-1, grasps.shape[-1])
+        B = pc.shape[0]
+        repeats = bg.shape[0] // B
+        rng = jax.random.fold_in(rng, state.step)
+        k_enc, k_diff, k_drop = jax.random.split(rng, 3)
+
+        # Frozen VAE encode (eval mode): z_pc once per cloud, z_h per grasp.
+        z_pc = vae.apply(vv, pc, method="encode_pc")
+        z_pc_rep = jnp.repeat(z_pc, repeats, axis=0)
+        mu, logvar = vae.apply(
+            vv, bg, z_pc_rep, method="encode_grasp"
+        )
+        from ..models.grasp_vae import VAEBottleneck
+
+        z_h = VAEBottleneck.reparameterize(k_enc, mu, logvar)
+        z_h = jax.lax.stop_gradient(z_h)[:, None, :]  # [BG, 1, D]
+        z_cond = jax.lax.stop_gradient(z_pc_rep)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.constants is not None:
+                variables["constants"] = state.constants
+
+            def denoise(x, t, z):
+                return ddm.apply(
+                    variables, x, t, z, train=True, rngs={"dropout": k_drop}
+                )
+
+            loss = loss_weight * diffusion.loss(denoise, z_h, k_diff, z_cond)
+            return loss, {"denoising_loss": loss, "loss": loss}
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
+        new_ema = state.ema_params
+        if ema_cfg is not None and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, new_step, ema_cfg)
+        new_state = state.replace(
+            step=new_step, params=new_params, opt_state=new_opt, ema_params=new_ema
+        )
+        return new_state, metrics
+
+    return step_fn

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Grasp generation CLI.
+
+Rebuild of `tools/generate_grasps.py:14-135`: load an experiment (config +
+checkpoints), generate grasps in VAE or LDM mode for dataset samples or a raw
+point cloud, and dump/visualize the results.
+
+Usage:
+    python tools/generate_grasps.py --exp_path output/fpc_1a_latentc3_z4_pc64_180k \
+        --mode LDM --num_grasps 20 --inference_steps 100 --num_samples 3 \
+        [--data_root PATH] [--split test] [--no_ema] [--save_npz OUT.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Generate 6-DoF grasps")
+    p.add_argument("--exp_path", required=True, help="experiment directory")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--mode", default="LDM", choices=["VAE", "LDM"])
+    p.add_argument("--split", default="test")
+    p.add_argument("--num_grasps", type=int, default=20)
+    p.add_argument("--num_samples", type=int, default=1,
+                   help="number of dataset objects to sample")
+    p.add_argument("--inference_steps", type=int, default=100)
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
+    p.add_argument("--no_ema", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_npz", default=None)
+    p.add_argument("--visualize", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from graspldm_tpu.inference.runner import InferenceLDM, InferenceVAE
+
+    cls = InferenceVAE if args.mode == "VAE" else InferenceLDM
+    runner = cls(
+        exp_path=args.exp_path,
+        data_root=args.data_root,
+        split=args.split,
+        use_ema=not args.no_ema,
+        num_inference_steps=args.inference_steps,
+        sampler=args.sampler,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    results = []
+    for i in range(args.num_samples):
+        idx = int(rng.integers(0, len(runner.dataset)))
+        res = runner.infer(idx, num_grasps=args.num_grasps,
+                           rng=jax.random.PRNGKey(args.seed + i))
+        n_conf = float(np.mean(np.asarray(res["confidence"])))
+        print(
+            f"sample {i} (dataset idx {idx}): {res['grasps'].shape[1]} grasps, "
+            f"mean confidence {n_conf:.3f}"
+        )
+        results.append(res)
+
+    if args.save_npz:
+        np.savez(
+            args.save_npz,
+            **{
+                f"{k}_{i}": np.asarray(v)
+                for i, res in enumerate(results)
+                for k, v in res.items()
+            },
+        )
+        print(f"saved {args.save_npz}")
+
+    if args.visualize:
+        from graspldm_tpu.utils.vis import visualize_pc_grasps
+
+        for res in results:
+            visualize_pc_grasps(
+                np.asarray(res["pc"][0]),
+                np.asarray(res["grasps"][0]),
+                np.asarray(res["confidence"][0]),
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Rebuild of `tools/train_generator.py:11-117`: dispatches a config file to the
+stage trainer (vae | ddm | classifier), with the same small set of CLI
+overrides (batch size, data root, seed, deterministic).
+
+Usage:
+    python tools/train.py --config graspldm_tpu/configs/fpc_1a_latentc3_z4_pc64_180k.py \
+        --model vae [--batch-size 10] [--max-steps N] [--data-root PATH] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train GraspLDM-TPU models")
+    p.add_argument("--config", required=True, help="config .py file")
+    p.add_argument(
+        "--model", required=True, choices=["vae", "ddm", "classifier"],
+        help="which stage/model to train",
+    )
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--out-root", type=str, default="output")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--deterministic", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from graspldm_tpu.config import Config
+    from graspldm_tpu.data import AcronymShapenetPointclouds
+    from graspldm_tpu.flagship import FlagshipConfig
+    from graspldm_tpu.parallel import make_mesh
+    from graspldm_tpu.training import EMAConfig, VAELossConfig
+    from graspldm_tpu.training.experiment import Experiment
+    from graspldm_tpu.training.trainer import GraspGenerationTrainer
+
+    cfg = Config.fromfile(args.config)
+    exp_name = os.path.splitext(os.path.basename(args.config))[0]
+
+    batch_size = args.batch_size or cfg.get("batch_size", 10)
+    max_steps = args.max_steps or cfg.get("max_steps", 180_000)
+    data_root = args.data_root or cfg.get("root_data_dir")
+    seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+
+    model_cfg = FlagshipConfig(**cfg.get("flagship_args", {}))
+
+    ds_args = dict(cfg.get_path("data.train.args", {}))
+    if data_root:
+        ds_args["data_root_dir"] = data_root
+    dataset = AcronymShapenetPointclouds(**ds_args)
+
+    exp = Experiment(args.out_root, exp_name, args.model)
+    exp.copy_config(args.config)
+
+    trainer_cfg = cfg.get("trainer", {})
+    ema_args = trainer_cfg.get("ema", {"beta": 0.990, "update_after_step": 1000})
+    trainer = GraspGenerationTrainer(
+        experiment=exp,
+        model_cfg=model_cfg,
+        stage=args.model,
+        optimizer_cfg=cfg.get("optimizer"),
+        ema_cfg=EMAConfig(**ema_args),
+        vae_loss_cfg=VAELossConfig(
+            kl=VAELossConfig().kl.__class__(
+                cyclical_annealing=True,
+                num_steps=max_steps,
+                num_cycles=cfg.get_path("kl.num_cycles", 1),
+                ratio=cfg.get_path("kl.ratio", 0.5),
+                start=cfg.get_path("kl.start", 1e-7),
+                stop=cfg.get_path("kl.stop", 0.1),
+            )
+        ),
+        mesh=make_mesh(),
+        log_every=trainer_cfg.get("log_every_n_steps", 100),
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    example = next(dataset.batches(batch_size))
+    state = trainer.init_state(rng, example)
+    frozen_vae = None
+    if args.model == "ddm":
+        frozen_vae = trainer.load_frozen_vae(rng, example)
+
+    def infinite_batches():
+        while True:
+            yield from dataset.batches(batch_size)
+
+    trainer.fit(state, infinite_batches(), max_steps, rng, frozen_vae)
+
+
+if __name__ == "__main__":
+    main()
