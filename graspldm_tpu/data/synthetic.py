@@ -90,3 +90,63 @@ def make_synthetic_acronym(
         with open(os.path.join(root, "splits", f"{cat}.json"), "w") as f:
             json.dump({"train": train_files, "test": test_files}, f)
     return root
+
+
+def make_synthetic_partial_scenes(
+    root: str,
+    split: str = "train",
+    num_scenes: int = 2,
+    cams_per_scene: int = 2,
+    grasps_per_scene: int = 64,
+    depth_px_scale: float = 10000.0,
+    seed: int = 0,
+) -> str:
+    """Synthetic partial-pc fixture with the pre-rendered scene layout.
+
+    Layout (matching `acronym_partial_pointclouds.py:663-776`):
+    ``{root}/{split}/scene_{id}/scene_{id}_cam_{k}.png`` (uint16 depth) +
+    ``{root}/{split}/scene_{id}/{id}.npz`` with grasps/renders/obj_path.
+    Depth images contain a synthetic blob in front of the camera.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    for s in range(num_scenes):
+        scene_dir = os.path.join(root, split, f"scene_{s}")
+        os.makedirs(scene_dir, exist_ok=True)
+
+        G = grasps_per_scene
+        quats = Rotation.random(G, random_state=seed + s)
+        H = np.tile(np.eye(4), (G, 1, 1))
+        H[:, :3, :3] = quats.as_matrix()
+        H[:, :3, 3] = rng.normal([0, 0, 0.6], 0.03, size=(G, 3))
+        success = np.ones(G, np.int64)
+        success[G // 2 :] = (rng.random(G - G // 2) > 0.4).astype(np.int64)
+
+        cam_poses = {}
+        for k in range(cams_per_scene):
+            cam_poses[str(k)] = np.eye(4)
+            # gaussian bump depth image around the principal point
+            h, w = 480, 640
+            ys, xs = np.mgrid[0:h, 0:w]
+            r2 = ((xs - 320) / 60.0) ** 2 + ((ys - 240) / 60.0) ** 2
+            depth = np.where(r2 < 1.0, 0.6 - 0.05 * np.sqrt(1 - np.minimum(r2, 1)), 0.0)
+            depth_png = (depth * depth_px_scale).astype(np.uint16)
+            cv2.imwrite(
+                os.path.join(scene_dir, f"scene_{s}_cam_{k}.png"), depth_png
+            )
+
+        np.savez(
+            os.path.join(scene_dir, f"{s}.npz"),
+            grasps={
+                "transforms": H,
+                "success": success,
+                "qualities": {
+                    "force_closure": rng.random(G),
+                    "torque": rng.random(G),
+                },
+            },
+            renders={"cam_poses": cam_poses},
+            obj_path=f"meshes/synthetic/{s}.obj",
+        )
+    return root

@@ -1,0 +1,255 @@
+"""Elucidated diffusion (EDM, Karras et al. 2206.00364) + DPM-Solver++(2M).
+
+Rebuild of `grasp_ldm/models/diffusion/elucidated_diffusion.py:38-354`:
+sigma-space diffusion with the EDM preconditioning (c_skip/c_out/c_in/c_noise,
+Table 1), rho-7 sigma schedule (eq. 5), the stochastic churn sampler with
+2nd-order Heun correction, the DPM++(2M) deterministic sampler, and the
+log-normal-sigma training loss with EDM weighting.
+
+Both samplers are fused `lax.scan` loops with all per-step scalars
+precomputed — no host math per step (vs the reference's `.item()` calls each
+iteration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ElucidatedDiffusion"]
+
+DenoiseFn = Callable[[jax.Array, jax.Array, Optional[jax.Array]], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class ElucidatedDiffusion:
+    """EDM over 1-D latents ``[B, 1, D]``.
+
+    The ``denoise_fn`` passed to the methods is the RAW network
+    ``(x, time, z_cond) -> out``; preconditioning wraps it here.
+    Defaults mirror the reference (`elucidated_diffusion.py:39-56`).
+    """
+
+    n_dims: int
+    channels: int = 1
+    num_sample_steps: int = 32
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    sigma_data: float = 0.5
+    rho: float = 7.0
+    P_mean: float = -1.2
+    P_std: float = 1.2
+    S_churn: float = 80.0
+    S_tmin: float = 0.05
+    S_tmax: float = 50.0
+    S_noise: float = 1.003
+
+    # ---- preconditioning (Table 1) ----
+
+    def c_skip(self, sigma):
+        return (self.sigma_data**2) / (sigma**2 + self.sigma_data**2)
+
+    def c_out(self, sigma):
+        return sigma * self.sigma_data * jax.lax.rsqrt(self.sigma_data**2 + sigma**2)
+
+    def c_in(self, sigma):
+        return jax.lax.rsqrt(sigma**2 + self.sigma_data**2)
+
+    def c_noise(self, sigma):
+        return jnp.log(jnp.maximum(sigma, 1e-20)) * 0.25
+
+    def preconditioned(
+        self,
+        denoise_fn: DenoiseFn,
+        noised_x: jax.Array,
+        sigma: jax.Array,
+        z_cond: Optional[jax.Array],
+        clamp: bool = False,
+    ) -> jax.Array:
+        """Denoised estimate D(x; sigma) (eq. 7). ``sigma`` is ``[B]``."""
+        padded = sigma[:, None, None]
+        out = denoise_fn(self.c_in(padded) * noised_x, self.c_noise(sigma), z_cond)
+        out = self.c_skip(padded) * noised_x + self.c_out(padded) * out
+        if clamp:
+            out = jnp.clip(out, -1.0, 1.0)
+        return out
+
+    # ---- schedule (eq. 5) ----
+
+    def sample_schedule(self, num_sample_steps: Optional[int] = None) -> jnp.ndarray:
+        N = num_sample_steps or self.num_sample_steps
+        inv_rho = 1.0 / self.rho
+        steps = jnp.arange(N, dtype=jnp.float32)
+        sigmas = (
+            self.sigma_max**inv_rho
+            + steps / (N - 1) * (self.sigma_min**inv_rho - self.sigma_max**inv_rho)
+        ) ** self.rho
+        return jnp.concatenate([sigmas, jnp.zeros((1,))])
+
+    # ---- samplers ----
+
+    def sample(
+        self,
+        denoise_fn: DenoiseFn,
+        rng: jax.Array,
+        batch_size: int,
+        z_cond: Optional[jax.Array] = None,
+        num_sample_steps: Optional[int] = None,
+        use_dpmpp: bool = False,
+        clamp: bool = False,
+        return_trajectory: bool = False,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        if use_dpmpp:
+            return self.sample_dpmpp(
+                denoise_fn, rng, batch_size, z_cond, num_sample_steps, clamp,
+                return_trajectory,
+            )
+        return self.sample_churn(
+            denoise_fn, rng, batch_size, z_cond, num_sample_steps, clamp,
+            return_trajectory,
+        )
+
+    def sample_churn(
+        self,
+        denoise_fn: DenoiseFn,
+        rng: jax.Array,
+        batch_size: int,
+        z_cond: Optional[jax.Array] = None,
+        num_sample_steps: Optional[int] = None,
+        clamp: bool = False,
+        return_trajectory: bool = False,
+    ):
+        """Stochastic churn sampler with Heun 2nd-order correction
+        (`elucidated_diffusion.py:178-257`, Algorithm 2)."""
+        N = num_sample_steps or self.num_sample_steps
+        sigmas = self.sample_schedule(N)  # [N+1]
+        gammas = jnp.where(
+            (sigmas >= self.S_tmin) & (sigmas <= self.S_tmax),
+            min(self.S_churn / N, math.sqrt(2.0) - 1.0),
+            0.0,
+        )
+        shape = (batch_size, self.channels, self.n_dims)
+        k_init, k_loop = jax.random.split(rng)
+        x = sigmas[0] * jax.random.normal(k_init, shape)
+
+        triples = (sigmas[:-1], sigmas[1:], gammas[:-1])
+
+        def step(carry, inp):
+            x, key = carry
+            sigma, sigma_next, gamma = inp
+            key, k_eps = jax.random.split(key)
+            eps = self.S_noise * jax.random.normal(k_eps, shape)
+
+            sigma_hat = sigma + gamma * sigma
+            x_hat = x + jnp.sqrt(
+                jnp.maximum(sigma_hat**2 - sigma**2, 0.0)
+            ) * eps
+
+            sig_hat_b = jnp.full((batch_size,), sigma_hat)
+            denoised = self.preconditioned(denoise_fn, x_hat, sig_hat_b, z_cond, clamp)
+            d = (x_hat - denoised) / sigma_hat
+            x_next_euler = x_hat + (sigma_next - sigma_hat) * d
+
+            # 2nd-order correction, skipped when sigma_next == 0.
+            sig_next_safe = jnp.maximum(sigma_next, 1e-12)
+            sig_next_b = jnp.full((batch_size,), sigma_next)
+            denoised_next = self.preconditioned(
+                denoise_fn, x_next_euler, sig_next_b, z_cond, clamp
+            )
+            d_prime = (x_next_euler - denoised_next) / sig_next_safe
+            x_next_heun = x_hat + 0.5 * (sigma_next - sigma_hat) * (d + d_prime)
+
+            x_new = jnp.where(sigma_next != 0.0, x_next_heun, x_next_euler)
+            out = x_new if return_trajectory else None
+            return (x_new, key), out
+
+        (x, _), traj = jax.lax.scan(step, (x, k_loop), triples)
+        if return_trajectory:
+            traj = jnp.concatenate(
+                [(sigmas[0] * jax.random.normal(k_init, shape))[None], traj], axis=0
+            )
+        return x, traj
+
+    def sample_dpmpp(
+        self,
+        denoise_fn: DenoiseFn,
+        rng: jax.Array,
+        batch_size: int,
+        z_cond: Optional[jax.Array] = None,
+        num_sample_steps: Optional[int] = None,
+        clamp: bool = False,
+        return_trajectory: bool = False,
+    ):
+        """DPM-Solver++(2M) (`elucidated_diffusion.py:259-313`, 2211.01095)."""
+        N = num_sample_steps or self.num_sample_steps
+        sigmas = self.sample_schedule(N)  # [N+1]
+        shape = (batch_size, self.channels, self.n_dims)
+        k_init, _ = jax.random.split(rng)
+        x = sigmas[0] * jax.random.normal(k_init, shape)
+
+        # t = -log(sigma); sigma_fn(t) = exp(-t)
+        def t_fn(sigma):
+            return -jnp.log(jnp.maximum(sigma, 1e-20))
+
+        idx = jnp.arange(N)
+        sig_i = sigmas[:-1]
+        sig_next = sigmas[1:]
+        sig_prev = jnp.concatenate([sig_i[:1], sig_i[:-1]])  # sigmas[i-1], i>=1
+
+        def step(carry, inp):
+            x, old_denoised = carry
+            i, sigma, sigma_next_, sigma_prev = inp
+            sig_b = jnp.full((batch_size,), sigma)
+            denoised = self.preconditioned(denoise_fn, x, sig_b, z_cond, clamp)
+
+            t, t_next = t_fn(sigma), t_fn(sigma_next_)
+            h = t_next - t
+
+            h_last = t - t_fn(sigma_prev)
+            r = h_last / jnp.where(h == 0, 1e-20, h)
+            gamma = -1.0 / (2.0 * jnp.where(r == 0, 1e-20, r))
+            use_first_order = jnp.logical_or(i == 0, sigma_next_ == 0.0)
+            denoised_d = jnp.where(
+                use_first_order,
+                denoised,
+                (1.0 - gamma) * denoised + gamma * old_denoised,
+            )
+
+            sigma_ratio = jnp.maximum(sigma_next_, 1e-20) / jnp.maximum(sigma, 1e-20)
+            x_new = sigma_ratio * x - jnp.expm1(-h) * denoised_d
+            out = x_new if return_trajectory else None
+            return (x_new, denoised), out
+
+        (x, _), traj = jax.lax.scan(
+            step, (x, jnp.zeros_like(x)), (idx, sig_i, sig_next, sig_prev)
+        )
+        return x, traj
+
+    # ---- training ----
+
+    def loss_weight(self, sigma):
+        return (sigma**2 + self.sigma_data**2) / (sigma * self.sigma_data) ** 2
+
+    def loss(
+        self,
+        denoise_fn: DenoiseFn,
+        x0: jax.Array,
+        rng: jax.Array,
+        z_cond: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Log-normal-sigma MSE with EDM weighting
+        (`elucidated_diffusion.py:317-354`)."""
+        b = x0.shape[0]
+        k_sig, k_noise = jax.random.split(rng)
+        sigmas = jnp.exp(
+            self.P_mean + self.P_std * jax.random.normal(k_sig, (b,))
+        )
+        noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
+        noised = x0 + sigmas[:, None, None] * noise
+        denoised = self.preconditioned(denoise_fn, noised, sigmas, z_cond)
+        per_sample = jnp.mean((denoised - x0) ** 2, axis=(1, 2))
+        return jnp.mean(per_sample * self.loss_weight(sigmas))

@@ -84,10 +84,21 @@ def _convert_resnet_block(sd: Mapping, pfx: str) -> Dict[str, dict]:
     return out
 
 
+def convert_conv1d_to_dense(weight, bias=None) -> Dict[str, np.ndarray]:
+    """torch Conv1d with kernel_size 1 -> flax Dense kernel ``[in, out]``."""
+    w = _np(weight)  # [out, in, 1]
+    assert w.shape[-1] == 1, "expected a 1x1 conv"
+    entry = {"kernel": np.transpose(w[..., 0], (1, 0))}
+    if bias is not None:
+        entry["bias"] = _np(bias)
+    return entry
+
+
 def _convert_linear_attention(sd: Mapping, pfx: str) -> Dict[str, dict]:
+    # to_qkv / to_out are Dense layers in the flax modules (1x1 convs in torch)
     return {
-        "to_qkv": convert_conv1d(sd[f"{pfx}to_qkv.weight"]),
-        "to_out": convert_conv1d(
+        "to_qkv": convert_conv1d_to_dense(sd[f"{pfx}to_qkv.weight"]),
+        "to_out": convert_conv1d_to_dense(
             sd[f"{pfx}to_out.0.weight"], sd.get(f"{pfx}to_out.0.bias")
         ),
         "out_norm": {"g": _np(sd[f"{pfx}to_out.1.g"]).reshape(-1)},

@@ -16,3 +16,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# Full fp32 matmuls for numerical parity tests (the runtime default keeps
+# the faster bf16-multiply path for production/bench).
+jax.config.update("jax_default_matmul_precision", "highest")
