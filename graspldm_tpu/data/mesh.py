@@ -65,8 +65,20 @@ def load_obj(path: str) -> Mesh:
 def sample_surface(
     mesh: Mesh, count: int, rng: Optional[np.random.Generator] = None
 ) -> np.ndarray:
-    """Uniform area-weighted surface sampling -> ``[count, 3]`` float32."""
+    """Uniform area-weighted surface sampling -> ``[count, 3]`` float32.
+
+    Uses the native C++ path (`graspldm_tpu/native/host_ops.cpp`) when
+    available; numpy fallback otherwise.
+    """
     rng = rng or np.random.default_rng()
+
+    from ..native import sample_surface_native
+
+    native = sample_surface_native(
+        mesh.vertices, mesh.faces, count, int(rng.integers(1 << 62))
+    )
+    if native is not None:
+        return native
     areas = mesh.face_areas
     total = areas.sum()
     if total <= 0:
