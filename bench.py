@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -26,7 +27,10 @@ def main():
 
     vae, ddm, diffusion = build_flagship()
 
-    B, N, G, STEPS = 8, 1024, 1024, 100
+    B = int(os.environ.get("GRASPLDM_BENCH_B", 8))
+    G = int(os.environ.get("GRASPLDM_BENCH_G", 4096))
+    STEPS = int(os.environ.get("GRASPLDM_BENCH_STEPS", 100))
+    N = 1024
     rng = jax.random.PRNGKey(0)
     pc = jax.random.normal(rng, (B, N, 3))
     grasps = jax.random.normal(rng, (B * 2, 7))
@@ -36,6 +40,16 @@ def main():
     t = jnp.zeros((2,), jnp.int32)
     zc = jnp.zeros((2, 3, 64))
     ddm_vars = jit_init(ddm, {"params": rng, "dropout": rng}, x, t, zc)
+
+    # bf16 denoiser weights: the 100-step sampler dominates; MXU runs bf16 at
+    # full rate while the scheduler math stays fp32.
+    if os.environ.get("GRASPLDM_BENCH_DTYPE", "bf16") == "bf16":
+        ddm_vars = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32
+            else a,
+            ddm_vars,
+        )
 
     @jax.jit
     def generate(vv, dv, pc, key):

@@ -13,11 +13,16 @@ from .augmentations import (
     build_augmentations,
 )
 from .camera import PinholeCamera, depth_to_pointcloud_np
+from .grasp_points import AcronymGraspPointsDataset, gripper_surface_points
 from .mesh import Mesh, load_obj, sample_surface
+from .partial import AcronymPartialPointclouds
 from .synthetic import make_synthetic_acronym
 
 __all__ = [
     "AcronymShapenetPointclouds",
+    "AcronymPartialPointclouds",
+    "AcronymGraspPointsDataset",
+    "gripper_surface_points",
     "ObjectGrasps",
     "load_data_splits",
     "minmax_normalize",

@@ -98,19 +98,37 @@ def ldm_generate(
     sampler: str = "ddim",
     meta: Optional[NormalizationMeta] = None,
     return_trajectory: bool = False,
+    cls_cond: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """LDM-mode generation: reverse diffusion in the grasp latent space.
 
     The whole sampler (S denoiser calls) runs as one `lax.scan`; with
     ``return_trajectory`` the per-step latents are decoded too
     (reference `tools/inference.py:630-643` "all_diffusion_grasps").
+    ``cls_cond`` (``[B*G]`` scalars) enables class/region-conditioned
+    denoisers (reference `tools/inference.py:330-398` conditioning modes).
     """
     z_pc = vae.apply(vae_variables, pc, method="encode_pc")
     z_pc_rep = jnp.repeat(z_pc, num_grasps, axis=0)
     B = pc.shape[0]
 
-    def denoise(x, t, z):
-        return ddm.apply(ddm_variables, x, t, z)
+    # Run the denoiser in the parameter dtype (bf16 weights -> bf16 MXU
+    # compute); scheduler math stays in the latent dtype (fp32).
+    p_dtype = jax.tree.leaves(ddm_variables["params"])[0].dtype
+
+    if cls_cond is None:
+        def denoise(x, t, z):
+            out = ddm.apply(
+                ddm_variables, x.astype(p_dtype), t, z.astype(p_dtype)
+            )
+            return out.astype(x.dtype)
+    else:
+        def denoise(x, t, z):
+            out = ddm.apply(
+                ddm_variables, x.astype(p_dtype), t, z.astype(p_dtype),
+                cls_cond=cls_cond,
+            )
+            return out.astype(x.dtype)
 
     x0, traj = diffusion.sample(
         denoise,

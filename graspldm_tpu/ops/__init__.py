@@ -10,6 +10,7 @@ from .neighborhood import (
     pairwise_sq_dists,
     three_nn_interpolate,
 )
+from .pallas_fps import furthest_point_sample_pallas
 from .sampling import furthest_point_sample, gather_points
 from .voxel import (
     avg_voxelize,
@@ -23,6 +24,7 @@ __all__ = [
     "pairwise_sq_dists",
     "three_nn_interpolate",
     "furthest_point_sample",
+    "furthest_point_sample_pallas",
     "gather_points",
     "avg_voxelize",
     "normalize_coords_for_voxelization",

@@ -1,0 +1,124 @@
+"""End-to-end slice: train both stages briefly on synthetic data, checkpoint,
+reload through the inference API, generate grasps in VAE and LDM modes.
+
+This is the CI version of the reference's full workflow
+(`tools/train_generator.py` stage 1 -> stage 2 -> `tools/generate_grasps.py`).
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+
+CONFIG_TEXT = """
+max_steps = 4
+batch_size = 2
+seed = 0
+root_data_dir = {root!r}
+
+flagship_args = dict(
+    pc_num_points=64,
+    pc_latent_size=16,
+    pc_latent_channels=3,
+    grasp_latent_size=4,
+    grasp_representation_dims=7,
+    block_channels=(8, 16),
+    resnet_block_groups=4,
+    dropout=0.1,
+    pc_scale_channels=0.25,
+    pc_scale_voxel_resolution=0.25,
+    diffusion_timesteps=50,
+    beta_start=5e-5,
+    beta_end=1e-3,
+)
+
+data = dict(
+    train=dict(
+        type="AcronymShapenetPointclouds",
+        args=dict(
+            data_root_dir=root_data_dir,
+            batch_num_points_per_pc=64,
+            batch_num_grasps_per_pc=8,
+            split="train",
+            batch_failed_grasps_ratio=0.0,
+            min_num_grasps=4,
+            num_repeat_dataset=4,
+        ),
+    ),
+)
+
+optimizer = dict(initial_lr=1e-3, grad_clip=0.5)
+trainer = dict(max_steps=max_steps, batch_size=batch_size,
+               log_every_n_steps=2, ema=dict(beta=0.99, update_after_step=1))
+"""
+
+
+@pytest.mark.slow
+def test_two_stage_train_and_generate(tmp_path):
+    from graspldm_tpu.config import Config
+    from graspldm_tpu.data import AcronymShapenetPointclouds, make_synthetic_acronym
+    from graspldm_tpu.flagship import FlagshipConfig
+    from graspldm_tpu.training import EMAConfig, VAELossConfig
+    from graspldm_tpu.training.experiment import Experiment
+    from graspldm_tpu.training.trainer import GraspGenerationTrainer
+
+    root = make_synthetic_acronym(str(tmp_path / "acronym"))
+    cfg_path = str(tmp_path / "tiny_e2e.py")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TEXT.format(root=root))
+
+    cfg = Config.fromfile(cfg_path)
+    model_cfg = FlagshipConfig(**cfg.flagship_args)
+    dataset = AcronymShapenetPointclouds(**cfg.data["train"]["args"])
+    out_root = str(tmp_path / "output")
+    rng = jax.random.PRNGKey(0)
+
+    def run_stage(stage):
+        exp = Experiment(out_root, "tiny_e2e", stage)
+        exp.copy_config(cfg_path)
+        trainer = GraspGenerationTrainer(
+            experiment=exp,
+            model_cfg=model_cfg,
+            stage=stage,
+            optimizer_cfg=cfg.optimizer,
+            ema_cfg=EMAConfig(beta=0.99, update_after_step=1),
+            log_every=2,
+            ckpt_every=2,
+        )
+        example = next(dataset.batches(cfg.batch_size))
+        state = trainer.init_state(rng, example)
+        frozen = None
+        if stage == "ddm":
+            frozen = trainer.load_frozen_vae(rng, example)
+
+        def batches():
+            while True:
+                yield from dataset.batches(cfg.batch_size)
+
+        trainer.fit(state, batches(), cfg.max_steps, rng, frozen)
+        return exp
+
+    run_stage("vae")
+    run_stage("ddm")
+
+    # inference through the checkpointed experiment
+    from graspldm_tpu.inference.runner import InferenceLDM, InferenceVAE
+
+    exp_path = os.path.join(out_root, "tiny_e2e")
+    vae_runner = InferenceVAE(exp_path, data_root=root, split="test",
+                              use_ema=True)
+    res = vae_runner.infer(0, num_grasps=5, rng=jax.random.PRNGKey(1))
+    assert res["grasps"].shape == (1, 5, 4, 4)
+    assert res["confidence"].shape == (1, 5)
+    np.testing.assert_allclose(res["grasps"][:, :, 3, :], [[[0, 0, 0, 1]] * 5])
+
+    ldm_runner = InferenceLDM(exp_path, data_root=root, split="test",
+                              num_inference_steps=10)
+    res = ldm_runner.infer(0, num_grasps=4, rng=jax.random.PRNGKey(2))
+    assert res["grasps"].shape == (1, 4, 4, 4)
+    assert np.all(np.isfinite(res["grasp_tmrp"]))
+    # rotations are valid SO(3): det(R) ~ +1
+    dets = np.linalg.det(res["grasps"][0, :, :3, :3])
+    np.testing.assert_allclose(dets, 1.0, atol=1e-4)

@@ -10,11 +10,14 @@ from graspldm_tpu.models import GraspCVAE, GraspLatentDDM
 
 @pytest.fixture(scope="module")
 def tiny_vae():
-    vae = GraspCVAE(pc_num_points=64)
+    # small voxel resolutions: conv3d compiles on the 1-CPU test host are the
+    # bottleneck; the flagship resolutions are exercised on TPU via bench.py
+    # and __graft_entry__.
+    vae = GraspCVAE(pc_num_points=64, pc_scale_voxel_resolution=0.25)
     key = jax.random.PRNGKey(0)
     pc = jax.random.normal(key, (2, 64, 3))
     grasps = jax.random.normal(key, (2 * 3, 7))
-    variables = vae.init({"params": key}, pc, grasps)
+    variables = jax.jit(lambda k: vae.init({"params": k}, pc, grasps))(key)
     return vae, variables, pc, grasps
 
 
@@ -91,7 +94,9 @@ class TestClassifier:
 
         key = jax.random.PRNGKey(0)
         B, Np, Ng = 2, 48, 16
-        model = PointsBasedGraspClassifier(num_pc_points=Np + Ng)
+        model = PointsBasedGraspClassifier(
+            num_pc_points=Np + Ng, scale_voxel_resolution=0.25
+        )
         pc = jax.random.normal(key, (B, Np, 3))
         gp = jax.random.normal(key, (B, Ng, 3))
         variables = model.init({"params": key}, pc, gp)

@@ -1,0 +1,163 @@
+"""Train-step smoke tests (tiny shapes) + end-to-end pipeline shape checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graspldm_tpu.flagship import FlagshipConfig, build_flagship
+from graspldm_tpu.training import (
+    EMAConfig,
+    VAELossConfig,
+    build_optimizer,
+    init_train_state,
+    make_ddm_train_step,
+    make_vae_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = FlagshipConfig(pc_num_points=64, pc_scale_voxel_resolution=0.25)
+    vae, ddm, diffusion = build_flagship(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, N, G = 2, 64, 4
+    batch = {
+        "pc": jax.random.normal(rng, (B, N, 3)),
+        "grasps": jax.random.normal(rng, (B, G, 7)),
+    }
+    tx = build_optimizer(1e-3)
+    return cfg, vae, ddm, diffusion, tx, batch, rng
+
+
+class TestVAEStep:
+    def test_one_step_updates_params(self, tiny_setup):
+        cfg, vae, ddm, diffusion, tx, batch, rng = tiny_setup
+        state = init_train_state(
+            vae, tx, rng, (batch["pc"], batch["grasps"].reshape(-1, 7)), {"rng": rng}
+        )
+        step = make_vae_train_step(vae, tx, VAELossConfig(), EMAConfig())
+        new_state, metrics = step(state, batch, rng)
+        assert int(new_state.step) == 1
+        for key in ("loss", "reconstruction_loss", "latent_loss",
+                    "classification_loss", "unweighted_kld"):
+            assert key in metrics and np.isfinite(float(metrics[key]))
+        # parameters changed
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+        )
+        assert max(jax.tree.leaves(diff)) > 0
+        # EMA is a copy during warm-up
+        ema_diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            new_state.ema_params,
+            new_state.params,
+        )
+        assert max(jax.tree.leaves(ema_diff)) == 0
+
+    def test_kl_weight_follows_schedule(self):
+        from graspldm_tpu.losses import VAELatentLoss
+
+        kl = VAELatentLoss(
+            cyclical_annealing=True, num_steps=100, num_cycles=1, ratio=0.5,
+            start=0.0, stop=0.1,
+        )
+        w0 = float(kl.weight_at(jnp.asarray(0)))
+        w25 = float(kl.weight_at(jnp.asarray(25)))
+        w99 = float(kl.weight_at(jnp.asarray(99)))
+        assert w0 == 0.0 and 0 < w25 < 0.1 and w99 == pytest.approx(0.1)
+
+
+class TestDDMStep:
+    def test_one_step(self, tiny_setup):
+        cfg, vae, ddm, diffusion, tx, batch, rng = tiny_setup
+        vae_vars = vae.init(
+            {"params": rng}, batch["pc"], batch["grasps"].reshape(-1, 7)
+        )
+        BG = 8
+        x = jnp.zeros((BG, 1, cfg.grasp_latent_size))
+        t = jnp.zeros((BG,), jnp.int32)
+        zc = jnp.zeros((BG, cfg.pc_latent_channels, cfg.pc_latent_size))
+        state = init_train_state(ddm, tx, rng, (x, t, zc))
+        step = make_ddm_train_step(vae, ddm, diffusion, tx)
+        frozen = {k: v for k, v in vae_vars.items() if k in ("params", "batch_stats")}
+        new_state, metrics = step(state, batch, rng, frozen)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["denoising_loss"]))
+        # VAE variables untouched (frozen): the ddm optimizer state only
+        # covers denoiser params.
+        assert set(new_state.params.keys()) == set(state.params.keys())
+
+
+class TestCheckpointRoundtrip:
+    def test_save_restore(self, tiny_setup, tmp_path):
+        from graspldm_tpu.training.experiment import (
+            Experiment,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        cfg, vae, ddm, diffusion, tx, batch, rng = tiny_setup
+        exp = Experiment(str(tmp_path), "exp_test", "vae")
+        state = init_train_state(
+            vae, tx, rng, (batch["pc"], batch["grasps"].reshape(-1, 7)), {"rng": rng}
+        )
+        save_checkpoint(exp.checkpoint_path("last"), state)
+        restored = restore_checkpoint(exp.checkpoint_path("last"), state)
+        chex_equal = jax.tree.map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            state.params,
+            restored.params,
+        )
+        assert all(jax.tree.leaves(chex_equal))
+        exp.log_metrics(1, {"loss": 1.0})
+        assert (tmp_path / "exp_test" / "vae" / "logs" / "metrics.jsonl").exists()
+
+
+class TestClassifierStep:
+    def test_classifier_train_step(self):
+        from graspldm_tpu.models.grasp_classifier import PointsBasedGraspClassifier
+        from graspldm_tpu.training.classifier import (
+            binary_classification_metrics,
+            make_classifier_train_step,
+        )
+
+        rng = jax.random.PRNGKey(0)
+        B, G, Np, P = 2, 3, 32, 8
+        model = PointsBasedGraspClassifier(
+            num_pc_points=Np + P, scale_voxel_resolution=0.25
+        )
+        pc = jax.random.normal(rng, (B * G, Np, 3))
+        gp = jax.random.normal(rng, (B * G, P, 3))
+        variables = model.init({"params": rng}, pc, gp)
+
+        tx = build_optimizer(1e-3)
+        from graspldm_tpu.training import TrainState
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            ema_params=None,
+            batch_stats=variables.get("batch_stats"),
+        )
+        batch = {
+            "pc": jax.random.normal(rng, (B, Np, 3)),
+            "grasp_points": jax.random.normal(rng, (B, G, P, 3)),
+            "labels": jnp.asarray(np.random.default_rng(0).integers(0, 2, (B, G)),
+                                  jnp.float32),
+        }
+        step = make_classifier_train_step(model, tx)
+        new_state, metrics = step(state, batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        for k in ("accuracy", "precision", "recall", "f1", "auprc"):
+            assert 0.0 <= float(metrics[k]) <= 1.0
+
+    def test_binary_metrics_perfect(self):
+        from graspldm_tpu.training.classifier import binary_classification_metrics
+
+        preds = jnp.array([0.9, 0.1, 0.8, 0.2])
+        targets = jnp.array([1.0, 0.0, 1.0, 0.0])
+        m = binary_classification_metrics(preds, targets)
+        for k in ("accuracy", "precision", "recall", "f1", "auprc"):
+            assert float(m[k]) == pytest.approx(1.0, abs=1e-6)
