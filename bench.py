@@ -22,10 +22,17 @@ PER_CHIP_TARGET = 50_000 / 8  # north-star v5e-8 target, per chip
 
 
 def main():
-    from graspldm_tpu.flagship import build_flagship, jit_init
+    from graspldm_tpu.flagship import FlagshipConfig, build_flagship, jit_init
     from graspldm_tpu.inference import ldm_generate
 
-    vae, ddm, diffusion = build_flagship()
+    # bf16 denoiser compute: the 100-step sampler is HBM-bandwidth bound on
+    # the dependent chain, so halving activation bytes is the first-order win.
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("GRASPLDM_BENCH_DTYPE", "bf16") == "bf16"
+        else None
+    )
+    vae, ddm, diffusion = build_flagship(FlagshipConfig(denoiser_dtype=dtype))
 
     B = int(os.environ.get("GRASPLDM_BENCH_B", 8))
     G = int(os.environ.get("GRASPLDM_BENCH_G", 4096))
@@ -40,16 +47,6 @@ def main():
     t = jnp.zeros((2,), jnp.int32)
     zc = jnp.zeros((2, 3, 64))
     ddm_vars = jit_init(ddm, {"params": rng, "dropout": rng}, x, t, zc)
-
-    # bf16 denoiser weights: the 100-step sampler dominates; MXU runs bf16 at
-    # full rate while the scheduler math stays fp32.
-    if os.environ.get("GRASPLDM_BENCH_DTYPE", "bf16") == "bf16":
-        ddm_vars = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32
-            else a,
-            ddm_vars,
-        )
 
     @jax.jit
     def generate(vv, dv, pc, key):

@@ -38,6 +38,8 @@ class FlagshipConfig:
     beta_schedule: str = "linear"
     variance_type: str = "fixed_large"
     diffusion_loss: str = "l2"
+    # compute dtype for the denoiser hot path (None = fp32); params stay fp32
+    denoiser_dtype: object = None
 
 
 def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
@@ -61,6 +63,7 @@ def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
         block_channels=cfg.block_channels,
         resnet_block_groups=cfg.resnet_block_groups,
         dropout=cfg.dropout,
+        dtype=cfg.denoiser_dtype,
     )
     schedule = DiffusionSchedule.create(
         num_steps=cfg.diffusion_timesteps,

@@ -42,6 +42,7 @@ class GraspLatentDDM(nn.Module):
     learned_sinusoidal_cond: bool = False
     random_fourier_features: bool = True
     learned_sinusoidal_dim: int = 16
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -70,6 +71,7 @@ class GraspLatentDDM(nn.Module):
             learned_sinusoidal_cond=self.learned_sinusoidal_cond,
             random_fourier_features=self.random_fourier_features,
             learned_sinusoidal_dim=self.learned_sinusoidal_dim,
+            dtype=self.dtype,
             name="denoiser",
         )(h, time=time, z_cond=z_cond, deterministic=not train)
-        return h.transpose(0, 2, 1)
+        return h.transpose(0, 2, 1).astype(x.dtype)

@@ -88,6 +88,7 @@ class WSConv1d(nn.Module):
 
     features: int
     kernel_size: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -98,10 +99,15 @@ class WSConv1d(nn.Module):
             (self.kernel_size, in_ch, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # standardize in fp32, then cast to the compute dtype
         eps = 1e-5 if kernel.dtype == jnp.float32 else 1e-3
         mean = jnp.mean(kernel, axis=(0, 1), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1), keepdims=True)
         kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            x = x.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -158,6 +164,7 @@ class Block1D(nn.Module):
 
     features: int
     groups: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -165,8 +172,12 @@ class Block1D(nn.Module):
         x: jax.Array,
         scale_shift: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
-        x = WSConv1d(self.features, kernel_size=3, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = WSConv1d(self.features, kernel_size=3, dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(
+            num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="norm"
+        )(x)
         if scale_shift is not None:
             x = film_scale_shift(x, *scale_shift)
         return nn.silu(x)
@@ -181,20 +192,27 @@ class ResnetBlock1D(nn.Module):
 
     features: int
     groups: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: Optional[jax.Array] = None) -> jax.Array:
         scale_shift = None
         if emb is not None:
-            h = nn.Dense(self.features * 2, name="mlp_dense")(nn.silu(emb))
+            h = nn.Dense(self.features * 2, dtype=self.dtype, name="mlp_dense")(
+                nn.silu(emb)
+            )
             # emb [B, E] -> scale/shift [B, F]; emb [B, Ce, E] -> [B, Ce, F]
             scale, shift = jnp.split(h, 2, axis=-1)
             scale_shift = (scale, shift)
 
-        h = Block1D(self.features, groups=self.groups, name="block1")(x, scale_shift)
-        h = Block1D(self.features, groups=self.groups, name="block2")(h)
+        h = Block1D(
+            self.features, groups=self.groups, dtype=self.dtype, name="block1"
+        )(x, scale_shift)
+        h = Block1D(
+            self.features, groups=self.groups, dtype=self.dtype, name="block2"
+        )(h)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1,), name="res_conv")(x)
+            x = nn.Conv(self.features, (1,), dtype=self.dtype, name="res_conv")(x)
         return h + x
 
 
@@ -207,12 +225,13 @@ class LinearAttention1D(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, L, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):  # [B, L, h*d] -> [B, h, d, L]
@@ -229,7 +248,7 @@ class LinearAttention1D(nn.Module):
             "bhde,bhdn->bhen", context, q, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.transpose(0, 3, 1, 2).reshape(B, L, hidden)  # [B, L, h*e]
-        out = nn.Dense(C, name="to_out")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(name="out_norm")(out)
 
 

@@ -41,6 +41,7 @@ class _ResNet1DCore(nn.Module):
     out_channels: int
     resnet_block_groups: int
     dropout: Optional[float]
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -51,30 +52,35 @@ class _ResNet1DCore(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         # x: [B, L=dim, C=channels]
-        x = nn.Conv(self.dim, (7,), padding=3, name="init_conv")(x)
+        x = nn.Conv(self.dim, (7,), padding=3, dtype=self.dtype, name="init_conv")(x)
 
         for i, ch in enumerate(self.block_channels):
             in_ch = x.shape[-1]
             x = ResnetBlock1D(
-                in_ch, groups=self.resnet_block_groups, name=f"blocks_{i}_res1"
+                in_ch, groups=self.resnet_block_groups, dtype=self.dtype,
+                name=f"blocks_{i}_res1",
             )(x, latent_emb)
             x = ResnetBlock1D(
-                in_ch, groups=self.resnet_block_groups, name=f"blocks_{i}_res2"
+                in_ch, groups=self.resnet_block_groups, dtype=self.dtype,
+                name=f"blocks_{i}_res2",
             )(x, latent_emb)
             # Residual(PreNorm(LinearAttention))
-            x = x + LinearAttention1D(name=f"blocks_{i}_attn")(
+            x = x + LinearAttention1D(dtype=self.dtype, name=f"blocks_{i}_attn")(
                 ChannelLayerNorm(name=f"blocks_{i}_attn_norm")(x)
             )
-            x = nn.Conv(ch, (3,), padding=1, name=f"blocks_{i}_proj")(x)
+            x = nn.Conv(ch, (3,), padding=1, dtype=self.dtype,
+                        name=f"blocks_{i}_proj")(x)
             if self.dropout is not None:
                 x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
 
         x = ResnetBlock1D(
             self.block_channels[-1],
             groups=self.resnet_block_groups,
+            dtype=self.dtype,
             name="final_res_block",
         )(x, latent_emb)
-        return nn.Conv(self.out_channels, (1,), name="final_conv")(x)
+        return nn.Conv(self.out_channels, (1,), dtype=self.dtype,
+                       name="final_conv")(x)
 
 
 class ResNet1D(nn.Module):
@@ -93,6 +99,7 @@ class ResNet1D(nn.Module):
     resnet_block_groups: int = 8
     learned_variance: bool = False
     dropout: Optional[float] = None
+    dtype: object = None
 
     @property
     def out_features(self) -> int:
@@ -110,7 +117,9 @@ class ResNet1D(nn.Module):
         emb_dim = self.dim * 4
         if self.input_conditioning_dims is not None:
             assert z_cond is not None, "model is input-conditioned; z_cond required"
-            latent_emb = nn.silu(nn.Dense(emb_dim, name="input_emb")(z_cond))
+            latent_emb = nn.silu(
+                nn.Dense(emb_dim, dtype=self.dtype, name="input_emb")(z_cond)
+            )
 
         out_ch = self.out_channels
         if out_ch is None:
@@ -122,6 +131,7 @@ class ResNet1D(nn.Module):
             out_channels=out_ch,
             resnet_block_groups=self.resnet_block_groups,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="core",
         )(x, latent_emb, deterministic=deterministic)
 
@@ -147,6 +157,7 @@ class TimeConditionedResNet1D(nn.Module):
     learned_sinusoidal_cond: bool = False
     random_fourier_features: bool = False
     learned_sinusoidal_dim: int = 16
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -170,13 +181,15 @@ class TimeConditionedResNet1D(nn.Module):
                 )(time)
             else:
                 t_emb = SinusoidalPosEmb(self.dim, name="sinu_pos_emb")(time)
-            t_emb = nn.Dense(emb_dim, name="time_mlp_1")(t_emb)
+            t_emb = nn.Dense(emb_dim, dtype=self.dtype, name="time_mlp_1")(t_emb)
             t_emb = nn.gelu(t_emb, approximate=False)
-            latent_emb = nn.Dense(emb_dim, name="time_mlp_2")(t_emb)
+            latent_emb = nn.Dense(emb_dim, dtype=self.dtype, name="time_mlp_2")(t_emb)
 
         if self.input_conditioning_dims is not None:
             assert z_cond is not None, "model is input-conditioned; z_cond required"
-            input_emb = nn.silu(nn.Dense(emb_dim, name="input_emb")(z_cond))
+            input_emb = nn.silu(
+                nn.Dense(emb_dim, dtype=self.dtype, name="input_emb")(z_cond)
+            )
             if input_emb.ndim == 3 and latent_emb is not None:
                 # broadcast time emb over conditioning channels: [B,E] -> [B,Ce,E]
                 latent_emb = jnp.broadcast_to(
@@ -197,5 +210,6 @@ class TimeConditionedResNet1D(nn.Module):
             out_channels=out_ch,
             resnet_block_groups=self.resnet_block_groups,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="core",
         )(x, latent_emb, deterministic=deterministic)
