@@ -100,11 +100,17 @@ def _kernel(dims: DenoiserDims, names: List[str], compute_dtype, *refs):
     hd = h_ * d
     cd = compute_dtype
 
+    def _silu(x):
+        # bf16 logistic hits a Mosaic verification bug on some shapes;
+        # compute the sigmoid in f32 and cast back.
+        xf = x.astype(jnp.float32)
+        return (xf * jax.nn.sigmoid(xf)).astype(cd)
+
     emb_s = emb_ref[:].astype(cd)  # [R, Ce*emb]
 
     # ---- init conv (in-channels 1): broadcasted taps ----
-    init_w = w["init_w"][:]  # [7, 1, L]
-    init_b = w["init_b"][:]
+    init_w = w["init_w"][:].astype(jnp.float32)  # [7, 1, L]
+    init_b = w["init_b"][:].astype(jnp.float32)
     half = init_w.shape[0] // 2
     xs = []
     for l in range(L):
@@ -113,14 +119,14 @@ def _kernel(dims: DenoiserDims, names: List[str], compute_dtype, *refs):
             src = l + tap - half
             if src < 0 or src >= L:
                 continue
-            col = x_ref[:, src : src + 1].astype(cd)  # [R, 1]
-            term = col * init_w[tap, 0, :].astype(cd)[None, :]
+            col = x_ref[:, src : src + 1].astype(jnp.float32)  # [R, 1]
+            term = col * init_w[tap, 0, :][None, :]
             acc = term if acc is None else acc + term
-        xs.append(acc + init_b.astype(cd))
+        xs.append((acc + init_b[None, :]).astype(cd))
 
     def conv3(xs, wk, bk):
         wv = wk[:].astype(cd)  # [3, Cin, Cout]
-        bv = bk[:].astype(cd)
+        bv = bk[:].astype(jnp.float32)
         outs = []
         for l in range(L):
             acc = None
@@ -130,15 +136,16 @@ def _kernel(dims: DenoiserDims, names: List[str], compute_dtype, *refs):
                     continue
                 term = _mm(xs[src], wv[tap])
                 acc = term if acc is None else acc + term
-            outs.append(acc.astype(cd) + bv)
+            outs.append((acc + bv[None, :]).astype(cd))
         return outs
 
     def group_norm(xs, scale_ref, shift_ref):
         C = xs[0].shape[-1]
         gs = C // groups
-        scale = scale_ref[:].astype(cd)
-        shift = shift_ref[:].astype(cd)
-        # fp32 stats over (L x group channels)
+        scale = scale_ref[:].astype(jnp.float32)
+        shift = shift_ref[:].astype(jnp.float32)
+        # fp32 stats over (L x group channels); affine applied in f32 too
+        # (1-sublane bf16 broadcasts are unsupported by Mosaic).
         pieces = [[None] * groups for _ in range(L)]
         for g in range(groups):
             sl = slice(g * gs, (g + 1) * gs)
@@ -151,39 +158,43 @@ def _kernel(dims: DenoiserDims, names: List[str], compute_dtype, *refs):
             )
             inv = jax.lax.rsqrt(var + 1e-5)
             for l in range(L):
-                normed = ((parts[l] - mean) * inv).astype(cd)
-                pieces[l][g] = normed * scale[sl][None, :] + shift[sl][None, :]
+                normed = (parts[l] - mean) * inv
+                pieces[l][g] = (
+                    normed * scale[sl][None, :] + shift[sl][None, :]
+                ).astype(cd)
         return [jnp.concatenate(pieces[l], axis=1) for l in range(L)]
 
     def resblock(xs, prefix):
         ss = (
-            _mm(emb_s, w[f"{prefix}_mlp_w"][:].astype(cd)).astype(cd)
-            + w[f"{prefix}_mlp_b"][:].astype(cd)
-        )
+            _mm(emb_s, w[f"{prefix}_mlp_w"][:].astype(cd))
+            + w[f"{prefix}_mlp_b"][:].astype(jnp.float32)[None, :]
+        ).astype(cd)
         C = w[f"{prefix}_block1_w"].shape[2]
         scale, shift = ss[:, :C], ss[:, C:]
         h = conv3(xs, w[f"{prefix}_block1_w"], w[f"{prefix}_block1_b"])
         h = group_norm(h, w[f"{prefix}_block1_scale"], w[f"{prefix}_block1_shift"])
         ce = jnp.asarray(float(dims.cond_channels), cd)
         h = [x * (scale + ce) + shift for x in h]
-        h = [jax.nn.silu(x) for x in h]
+        h = [_silu(x) for x in h]
         h = conv3(h, w[f"{prefix}_block2_w"], w[f"{prefix}_block2_b"])
         h = group_norm(h, w[f"{prefix}_block2_scale"], w[f"{prefix}_block2_shift"])
-        h = [jax.nn.silu(x) for x in h]
+        h = [_silu(x) for x in h]
         return [a + b for a, b in zip(h, xs)]
 
     def channel_ln(x, g):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        return (((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(cd)) * g[None, :]
+        return (
+            (xf - mean) * jax.lax.rsqrt(var + 1e-5) * g.astype(jnp.float32)[None, :]
+        ).astype(cd)
 
     def attention(xs, i):
-        g_in = w[f"b{i}_attn_norm_g"][:].astype(cd)
+        g_in = w[f"b{i}_attn_norm_g"][:]
         qkv_w = w[f"b{i}_qkv_w"][:].astype(cd)
         out_w = w[f"b{i}_attn_out_w"][:].astype(cd)
-        out_b = w[f"b{i}_attn_out_b"][:].astype(cd)
-        g_out = w[f"b{i}_attn_out_g"][:].astype(cd)
+        out_b = w[f"b{i}_attn_out_b"][:].astype(jnp.float32)
+        g_out = w[f"b{i}_attn_out_g"][:]
 
         qkv = [_mm(channel_ln(x, g_in), qkv_w).astype(cd) for x in xs]
         q = [v[:, :hd] for v in qkv]
@@ -227,7 +238,7 @@ def _kernel(dims: DenoiserDims, names: List[str], compute_dtype, *refs):
         res = []
         for l in range(L):
             o = jnp.concatenate(outs[l], axis=1)  # [R, hd]
-            o = _mm(o, out_w).astype(cd) + out_b
+            o = (_mm(o, out_w) + out_b[None, :]).astype(cd)
             res.append(xs[l] + channel_ln(o, g_out))
         return res
 
@@ -240,8 +251,8 @@ def _kernel(dims: DenoiserDims, names: List[str], compute_dtype, *refs):
     xs = resblock(xs, "final")
 
     fw = w["final_conv_w"][:].astype(cd)  # [C, 1]
-    fb = w["final_conv_b"][:].astype(cd)
-    cols = [(_mm(x, fw).astype(cd) + fb) for x in xs]  # [R, 1] each
+    fb = w["final_conv_b"][:].astype(jnp.float32)
+    cols = [(_mm(x, fw) + fb[None, :]).astype(cd) for x in xs]  # [R, 1] each
     out_ref[:] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
 
 
