@@ -40,6 +40,9 @@ class FlagshipConfig:
     diffusion_loss: str = "l2"
     # compute dtype for the denoiser hot path (None = fp32); params stay fp32
     denoiser_dtype: object = None
+    # EDM (elucidated) diffusion instead of DDPM/DDIM
+    elucidated: bool = False
+    edm_num_sample_steps: int = 32
 
 
 def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
@@ -65,18 +68,26 @@ def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
         dropout=cfg.dropout,
         dtype=cfg.denoiser_dtype,
     )
-    schedule = DiffusionSchedule.create(
-        num_steps=cfg.diffusion_timesteps,
-        beta_schedule=cfg.beta_schedule,
-        beta_start=cfg.beta_start,
-        beta_end=cfg.beta_end,
-    )
-    diffusion = GaussianDiffusion1D(
-        schedule=schedule,
-        n_dims=cfg.grasp_latent_size,
-        loss_type=cfg.diffusion_loss,
-        variance_type=cfg.variance_type,
-    )
+    if cfg.elucidated:
+        from .diffusion import ElucidatedDiffusion
+
+        diffusion = ElucidatedDiffusion(
+            n_dims=cfg.grasp_latent_size,
+            num_sample_steps=cfg.edm_num_sample_steps,
+        )
+    else:
+        schedule = DiffusionSchedule.create(
+            num_steps=cfg.diffusion_timesteps,
+            beta_schedule=cfg.beta_schedule,
+            beta_start=cfg.beta_start,
+            beta_end=cfg.beta_end,
+        )
+        diffusion = GaussianDiffusion1D(
+            schedule=schedule,
+            n_dims=cfg.grasp_latent_size,
+            loss_type=cfg.diffusion_loss,
+            variance_type=cfg.variance_type,
+        )
     return vae, ddm, diffusion
 
 
