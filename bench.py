@@ -60,13 +60,47 @@ def main():
     jax.block_until_ready(out["grasps"])
 
     iters = 5
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
+        t0 = time.perf_counter()
         out = generate(vae_vars, ddm_vars, pc, jax.random.PRNGKey(i))
-    jax.block_until_ready(out["grasps"])
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out["grasps"])
+        times.append(time.perf_counter() - t0)
+    dt = sum(times) / iters
 
     grasps_per_sec = B * G / dt
+    p50_ms_per_object = sorted(times)[len(times) // 2] / B * 1e3
+
+    # secondary: VAE-mode samples/sec (BASELINE.md tracked metric)
+    from graspldm_tpu.inference import vae_generate
+
+    @jax.jit
+    def gen_vae(vv, pc, key):
+        return vae_generate(vae, vv, pc, G, key)
+
+    out_v = gen_vae(vae_vars, pc, rng)
+    jax.block_until_ready(out_v["grasps"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out_v = gen_vae(vae_vars, pc, jax.random.PRNGKey(i))
+    jax.block_until_ready(out_v["grasps"])
+    vae_samples_per_sec = B * G * iters / (time.perf_counter() - t0)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(
+            {
+                "grasps_per_sec_per_chip_100_ddim_steps": round(grasps_per_sec, 1),
+                "vae_samples_per_sec": round(vae_samples_per_sec, 1),
+                "p50_latency_per_object_ms": round(p50_ms_per_object, 2),
+                "B": B,
+                "G": G,
+                "steps": STEPS,
+                "denoiser_dtype": str(dtype),
+            },
+            f,
+            indent=1,
+        )
+
     print(
         json.dumps(
             {

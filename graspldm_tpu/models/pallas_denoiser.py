@@ -208,32 +208,28 @@ def _kernel(dims: DenoiserDims, names: List[str], compute_dtype, *refs):
         ksum = sum(ke)
         kn = [(t / ksum).astype(cd) for t in ke]
 
+        # Algebraic 2-D form (keeps Mosaic away from 3-D tiny-tile tensors):
+        #   out_l[r, e] = sum_m s_{lm}[r] * v_m[r, e],
+        #   s_{lm}[r]   = sum_d q'_l[r, d] * k'_m[r, d]   (per head)
         outs = [[] for _ in range(L)]
         for hh in range(h_):
             sl = slice(hh * d, (hh + 1) * d)
-            # q softmax over d within the head, then * d^-0.5
+            inv_scale = jnp.asarray(d**-0.5, jnp.float32)
             qh = []
             for l in range(L):
                 qf = q[l][:, sl].astype(jnp.float32)
                 qf = qf - jnp.max(qf, axis=1, keepdims=True)
                 e = jnp.exp(qf)
-                inv_scale = jnp.asarray(d**-0.5, jnp.float32)
-                qh.append(
-                    ((e / e.sum(axis=1, keepdims=True)) * inv_scale).astype(cd)
-                )
-            # context[r, d, e] = sum_l kn_l[r, d] * v_l[r, e]
-            ctx = None
+                qh.append((e / e.sum(axis=1, keepdims=True)) * inv_scale)
+            kh = [kn[l][:, sl].astype(jnp.float32) for l in range(L)]
+            vh = [v[l][:, sl].astype(jnp.float32) for l in range(L)]
             for l in range(L):
-                term = (
-                    kn[l][:, sl].astype(jnp.float32)[:, :, None]
-                    * v[l][:, sl].astype(jnp.float32)[:, None, :]
-                )
-                ctx = term if ctx is None else ctx + term
-            for l in range(L):
-                o = jnp.sum(
-                    ctx * qh[l].astype(jnp.float32)[:, :, None], axis=1
-                ).astype(cd)  # [R, d]
-                outs[l].append(o)
+                o = None
+                for m in range(L):
+                    s_lm = jnp.sum(qh[l] * kh[m], axis=1, keepdims=True)  # [R,1]
+                    term = s_lm * vh[m]
+                    o = term if o is None else o + term
+                outs[l].append(o.astype(cd))
 
         res = []
         for l in range(L):
