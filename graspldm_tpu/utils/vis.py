@@ -74,7 +74,7 @@ def visualize_pc_grasps(
     """Scene with xyz-colored points and confidence-colored grippers."""
     _require_trimesh()
     pc = np.asarray(pc)
-    colors = (pc - pc.min(0)) / (pc.ptp(0) + 1e-9)
+    colors = (pc - pc.min(0)) / (np.ptp(pc, 0) + 1e-9)
     cloud = trimesh.points.PointCloud(
         pc, colors=(np.concatenate([colors, np.ones((len(pc), 1))], -1) * 255)
     )

@@ -36,7 +36,10 @@ class TestVAEStep:
         state = init_train_state(
             vae, tx, rng, (batch["pc"], batch["grasps"].reshape(-1, 7)), {"rng": rng}
         )
-        step = make_vae_train_step(vae, tx, VAELossConfig(), EMAConfig())
+        # update_every=1 so the warm-up copy happens at step 1
+        step = make_vae_train_step(
+            vae, tx, VAELossConfig(), EMAConfig(update_every=1)
+        )
         new_state, metrics = step(state, batch, rng)
         assert int(new_state.step) == 1
         for key in ("loss", "reconstruction_loss", "latent_loss",
