@@ -6,6 +6,7 @@ from .pc_decoders import PVCNNDecoder, PVCNNInvert
 from .pvcnn import PVCNN, PVCNNEncoder, PVConv, SharedMLP
 from .pvcnn2 import PVCNN2, PVCNN2Encoder, PointNetFPModule, PointNetSAModule
 from .resnet1d import ResNet1D, TimeConditionedResNet1D
+from .unet1d import Unet1D
 
 from ..config import MODELS
 
@@ -20,6 +21,7 @@ for _m in (
     ResNet1D,
     TimeConditionedResNet1D,
     ClassTimeConditionedResNet1D,
+    Unet1D,
 ):
     if _m.__name__ not in MODELS:
         MODELS.register(_m)
@@ -43,4 +45,5 @@ __all__ = [
     "PointNetSAModule",
     "ResNet1D",
     "TimeConditionedResNet1D",
+    "Unet1D",
 ]

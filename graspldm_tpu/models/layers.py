@@ -257,12 +257,14 @@ class Attention1D(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, L, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):  # [B, L, h*d] -> [B, h, L, d]
@@ -276,4 +278,4 @@ class Attention1D(nn.Module):
             "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, hidden)
-        return nn.Dense(C, name="to_out")(out)
+        return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
