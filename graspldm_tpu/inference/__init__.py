@@ -1,3 +1,19 @@
 from .pipeline import decode_and_postprocess, ldm_generate, vae_generate
+from .runner import (
+    AcronymGroundTruthModel,
+    ExperimentPaths,
+    InferenceBase,
+    InferenceLDM,
+    InferenceVAE,
+)
 
-__all__ = ["decode_and_postprocess", "ldm_generate", "vae_generate"]
+__all__ = [
+    "decode_and_postprocess",
+    "ldm_generate",
+    "vae_generate",
+    "AcronymGroundTruthModel",
+    "ExperimentPaths",
+    "InferenceBase",
+    "InferenceLDM",
+    "InferenceVAE",
+]

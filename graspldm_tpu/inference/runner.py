@@ -162,6 +162,36 @@ class InferenceVAE(InferenceBase):
         return {k: np.asarray(v) for k, v in out.items()}
 
 
+class AcronymGroundTruthModel:
+    """Identity "model" that returns the dataset's ground-truth grasps.
+
+    Reference `tools/inference.py:818-887`: used for qualitative comparison
+    against generated grasps — unnormalizes the dataset item's grasp rows and
+    lifts them to 4x4 transforms with confidence = the success flag.
+    """
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def infer(self, idx: int, num_grasps: Optional[int] = None, rng=None):
+        from ..utils.rotations import tmrp_to_H
+
+        item = self.dataset[idx]
+        grasps = item["grasps"]
+        if num_grasps is not None:
+            grasps = grasps[:num_grasps]
+        m = item["metas"]
+        tmrp = grasps[:, :6] * m["grasp_std"][None, :] + m["grasp_mean"][None, :]
+        H = np.asarray(tmrp_to_H(jnp.asarray(tmrp)))
+        pc = item["pc"] * m["pc_std"][None, :] + m["pc_mean"][None, :]
+        return {
+            "grasps": H[None],
+            "grasp_tmrp": tmrp[None],
+            "confidence": grasps[None, :, 6],
+            "pc": pc[None],
+        }
+
+
 class InferenceLDM(InferenceBase):
     """Latent-diffusion generation (`tools/inference.py:401-666`)."""
 

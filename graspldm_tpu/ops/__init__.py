@@ -10,6 +10,7 @@ from .neighborhood import (
     pairwise_sq_dists,
     three_nn_interpolate,
 )
+from .masking import logits_mask
 from .pallas_fps import furthest_point_sample_pallas
 from .sampling import furthest_point_sample, gather_points
 from .voxel import (
@@ -23,6 +24,7 @@ __all__ = [
     "group_points",
     "pairwise_sq_dists",
     "three_nn_interpolate",
+    "logits_mask",
     "furthest_point_sample",
     "furthest_point_sample_pallas",
     "gather_points",
