@@ -191,6 +191,41 @@ class AcronymShapenetPointclouds:
                 f"No usable ACRONYM objects under {data_root_dir} (split={split})"
             )
 
+        # normalization params: fixed scales by default; optionally derived
+        # from dataset statistics (`acronym_pointclouds.py:346-425`)
+        self._pc_scale = np.full((3,), TRANSLATION_SCALE_FACTOR, np.float32)
+        self._grasp_scale = np.array(
+            [TRANSLATION_SCALE_FACTOR] * 3 + [ROTATION_SCALE_FACTOR] * 3,
+            np.float32,
+        )
+        if use_dataset_statistics_for_norm:
+            (_, pc_std), (_, grasp_std) = self.get_dataset_statistics()
+            self._pc_scale = pc_std.astype(np.float32)
+            self._grasp_scale = grasp_std.astype(np.float32)
+
+    def get_dataset_statistics(self, max_objects: int = 64):
+        """Per-dimension std of centered pcs and grasps across objects.
+
+        Mirrors `acronym_pointclouds.py:378-425` (mean is ~0 after the
+        per-object centering, so only std matters for the scale).
+        """
+        rng = np.random.default_rng(0)
+        pcs, grasps = [], []
+        for rec in self.objects[:max_objects]:
+            mesh = self._get_mesh(rec)
+            pc = mesh.sample(self.num_points, rng)
+            pc_mean = pc.mean(0)
+            pcs.append(pc - pc_mean)
+            g = rec.grasps.copy()
+            g[:, :3] -= pc_mean
+            grasps.append(g)
+        pc_all = np.concatenate(pcs, 0)
+        g_all = np.concatenate(grasps, 0)
+        return (
+            (pc_all.mean(0), pc_all.std(0)),
+            (g_all.mean(0), g_all.std(0)),
+        )
+
     def __len__(self) -> int:
         return len(self.objects) * self.num_repeat
 
@@ -243,27 +278,23 @@ class AcronymShapenetPointclouds:
         tmrp = tmrp.copy()
         tmrp[:, :3] -= pc_mean
 
-        # fixed normalization
-        pc = pc / TRANSLATION_SCALE_FACTOR
-        tmrp[:, :3] /= TRANSLATION_SCALE_FACTOR
-        tmrp[:, 3:6] /= ROTATION_SCALE_FACTOR
+        # scale normalization (fixed factors or dataset statistics)
+        pc = pc / self._pc_scale
+        tmrp = tmrp / self._grasp_scale
 
         grasps = np.concatenate([tmrp, success[:, None]], axis=-1)
         if quals.shape[-1]:
             grasps = np.concatenate([grasps, quals], axis=-1)
 
         grasp_mean = np.concatenate([pc_mean, np.zeros(3)]).astype(np.float32)
-        grasp_std = np.array(
-            [TRANSLATION_SCALE_FACTOR] * 3 + [ROTATION_SCALE_FACTOR] * 3, np.float32
-        )
         return {
             "pc": pc.astype(np.float32),
             "grasps": grasps.astype(np.float32),
             "metas": {
                 "pc_mean": pc_mean.astype(np.float32),
-                "pc_std": np.full((3,), TRANSLATION_SCALE_FACTOR, np.float32),
+                "pc_std": self._pc_scale,
                 "grasp_mean": grasp_mean,
-                "grasp_std": grasp_std,
+                "grasp_std": self._grasp_scale,
             },
         }
 

@@ -28,6 +28,8 @@ from ..training import (
     make_ddm_train_step,
     make_vae_train_step,
 )
+import os
+
 from .experiment import Experiment, restore_checkpoint, save_checkpoint
 
 __all__ = ["GraspGenerationTrainer"]
@@ -71,6 +73,15 @@ class GraspGenerationTrainer:
         self._frozen_vae = None
 
     # ---- initialization ----
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        """Resume from the stage's last checkpoint when present
+        (reference `resume_training_from_last`, `trainers/experiment.py:80-104`)."""
+        path = self.experiment.checkpoint_path("last")
+        if os.path.exists(path):
+            state = restore_checkpoint(path, state)
+            print(f"[{self.stage}] resumed from {path} at step {int(state.step)}")
+        return state
 
     def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
         pc = jnp.asarray(example_batch["pc"])
@@ -152,6 +163,7 @@ class GraspGenerationTrainer:
                 )
 
         t_last = time.perf_counter()
+        best_loss = float("inf")
         for batch in batches:
             step = int(state.step)
             if step >= max_steps:
@@ -174,4 +186,10 @@ class GraspGenerationTrainer:
                 )
             if step % self.ckpt_every == 0 or step >= max_steps:
                 save_checkpoint(self.experiment.checkpoint_path("last"), state)
+                # best-by-loss checkpoint (reference keeps top-k by `loss`,
+                # `grasp_generation_trainer.py:146-173`)
+                loss = float(metrics.get("loss", float("inf")))
+                if loss < best_loss:
+                    best_loss = loss
+                    save_checkpoint(self.experiment.checkpoint_path("best"), state)
         return state

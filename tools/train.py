@@ -91,6 +91,8 @@ def main():
     rng = jax.random.PRNGKey(seed)
     example = next(dataset.batches(batch_size))
     state = trainer.init_state(rng, example)
+    if cfg.get("resume_training_from_last", True):
+        state = trainer.maybe_resume(state)
     frozen_vae = None
     if args.model == "ddm":
         frozen_vae = trainer.load_frozen_vae(rng, example)
