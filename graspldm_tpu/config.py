@@ -16,7 +16,7 @@ import os
 from typing import Any, Callable, Dict, Optional
 
 __all__ = ["ConfigDict", "Config", "Registry", "MODELS", "DATASETS", "LOSSES",
-           "AUGMENTATIONS", "build_from_cfg"]
+           "AUGMENTATIONS", "build_from_cfg", "dump_config"]
 
 
 class ConfigDict(dict):
@@ -99,6 +99,19 @@ def _is_module(v: Any) -> bool:
     import types
 
     return isinstance(v, types.ModuleType)
+
+
+def dump_config(cfg: Dict[str, Any], path: str) -> None:
+    """Serialize a config dict to JSON (the reference's Config.dump analogue)."""
+    import json
+
+    def default(o):
+        if hasattr(o, "tolist"):
+            return o.tolist()
+        return repr(o)
+
+    with open(path, "w") as f:
+        json.dump({k: v for k, v in cfg.items()}, f, indent=1, default=default)
 
 
 class Registry:

@@ -123,19 +123,21 @@ class InferenceBase:
             grasp_std=jnp.asarray(metas["grasp_std"])[None],
         )
 
-    def infer(self, idx: int, num_grasps: int, rng: jax.Array) -> Dict[str, Any]:
+    def infer(
+        self, idx: int, num_grasps: int, rng: jax.Array, **kwargs
+    ) -> Dict[str, Any]:
         """Generate grasps for dataset item ``idx``."""
         item = self.get_item(idx)
         pc = jnp.asarray(item["pc"])[None]  # [1, N, 3] normalized
         meta = self._meta_from_item(item["metas"])
-        out = self.generate(pc, num_grasps, rng, meta)
+        out = self.generate(pc, num_grasps, rng, meta, **kwargs)
         out["pc"] = np.asarray(pc) * np.asarray(meta.pc_std)[:, None, :] + np.asarray(
             meta.pc_mean
         )[:, None, :]
         return out
 
     def infer_on_pointcloud(
-        self, pc_raw: np.ndarray, num_grasps: int, rng: jax.Array
+        self, pc_raw: np.ndarray, num_grasps: int, rng: jax.Array, **kwargs
     ) -> Dict[str, Any]:
         """Generate for a raw (metric) point cloud ``[N, 3]``.
 
@@ -146,18 +148,18 @@ class InferenceBase:
         pc = jnp.asarray(pc_raw, jnp.float32)[None]
         dummy = jnp.zeros((1, 1, 6))
         pc_n, _, meta = normalize_pc_and_grasps(pc, dummy)
-        out = self.generate(pc_n, num_grasps, rng, meta)
+        out = self.generate(pc_n, num_grasps, rng, meta, **kwargs)
         out["pc"] = np.asarray(pc)
         return out
 
-    def generate(self, pc, num_grasps, rng, meta):  # pragma: no cover - abstract
+    def generate(self, pc, num_grasps, rng, meta, **kwargs):  # pragma: no cover
         raise NotImplementedError
 
 
 class InferenceVAE(InferenceBase):
     """VAE-prior generation (`tools/inference.py:669-815`)."""
 
-    def generate(self, pc, num_grasps, rng, meta):
+    def generate(self, pc, num_grasps, rng, meta, **kwargs):
         out = vae_generate(self.vae, self.vae_variables, pc, num_grasps, rng, meta)
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -210,7 +212,7 @@ class InferenceLDM(InferenceBase):
         ddm_state = restore_checkpoint(ddm_paths.ckpt_path, template)
         self.ddm_variables = self._variables_from_state(ddm_state)
 
-    def generate(self, pc, num_grasps, rng, meta):
+    def generate(self, pc, num_grasps, rng, meta, cls_cond=None, **kwargs):
         out = ldm_generate(
             self.vae,
             self.vae_variables,
@@ -223,5 +225,6 @@ class InferenceLDM(InferenceBase):
             num_inference_steps=self.num_inference_steps,
             sampler=self.sampler,
             meta=meta,
+            cls_cond=cls_cond,
         )
         return {k: np.asarray(v) for k, v in out.items()}

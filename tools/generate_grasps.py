@@ -37,6 +37,14 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_npz", default=None)
     p.add_argument("--visualize", action="store_true")
+    p.add_argument(
+        "--conditioning",
+        default="unconditional",
+        choices=["unconditional", "class", "region"],
+        help="conditioning mode for task-conditioned models "
+             "(reference tools/generate_grasps.py:95-106)",
+    )
+    p.add_argument("--condition_value", type=float, default=0.0)
     return p.parse_args()
 
 
@@ -56,12 +64,23 @@ def main():
         sampler=args.sampler,
     )
 
+    infer_kwargs = {}
+    if args.conditioning != "unconditional":
+        # class/region conditioning: a scalar label per grasp fed to the
+        # class-conditioned denoiser (metas["mode_cls"] semantics).
+        import jax.numpy as jnp
+
+        infer_kwargs["cls_cond"] = jnp.full(
+            (args.num_grasps,), args.condition_value
+        )
+
     rng = np.random.default_rng(args.seed)
     results = []
     for i in range(args.num_samples):
         idx = int(rng.integers(0, len(runner.dataset)))
         res = runner.infer(idx, num_grasps=args.num_grasps,
-                           rng=jax.random.PRNGKey(args.seed + i))
+                           rng=jax.random.PRNGKey(args.seed + i),
+                           **infer_kwargs)
         n_conf = float(np.mean(np.asarray(res["confidence"])))
         print(
             f"sample {i} (dataset idx {idx}): {res['grasps'].shape[1]} grasps, "
