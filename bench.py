@@ -35,7 +35,7 @@ def main():
     vae, ddm, diffusion = build_flagship(FlagshipConfig(denoiser_dtype=dtype))
 
     B = int(os.environ.get("GRASPLDM_BENCH_B", 8))
-    G = int(os.environ.get("GRASPLDM_BENCH_G", 4096))
+    G = int(os.environ.get("GRASPLDM_BENCH_G", 1024))
     STEPS = int(os.environ.get("GRASPLDM_BENCH_STEPS", 100))
     N = 1024
     rng = jax.random.PRNGKey(0)
