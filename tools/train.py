@@ -40,8 +40,8 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from graspldm_tpu.config import Config
-    from graspldm_tpu.data import AcronymShapenetPointclouds
+    import graspldm_tpu.data  # registers datasets
+    from graspldm_tpu.config import DATASETS, Config, build_from_cfg
     from graspldm_tpu.flagship import FlagshipConfig
     from graspldm_tpu.parallel import make_mesh
     from graspldm_tpu.training import EMAConfig, VAELossConfig
@@ -58,10 +58,12 @@ def main():
 
     model_cfg = FlagshipConfig(**cfg.get("flagship_args", {}))
 
-    ds_args = dict(cfg.get_path("data.train.args", {}))
+    ds_cfg = dict(cfg.get_path("data.train", {}))
+    ds_cfg.setdefault("type", "AcronymShapenetPointclouds")
     if data_root:
-        ds_args["data_root_dir"] = data_root
-    dataset = AcronymShapenetPointclouds(**ds_args)
+        ds_cfg.setdefault("args", {})
+        ds_cfg["args"]["data_root_dir"] = data_root
+    dataset = build_from_cfg(ds_cfg, DATASETS)
 
     exp = Experiment(args.out_root, exp_name, args.model)
     exp.copy_config(args.config)
