@@ -8,7 +8,6 @@ predictions and reports binary accuracy/precision/recall/F1/AUPRC.
 
 from __future__ import annotations
 
-import time
 from typing import Dict, Iterable, Optional
 
 import jax
