@@ -5,5 +5,13 @@ from .mesh import (
     replicate,
     shard_batch,
 )
+from .prefetch import prefetch_to_device
 
-__all__ = ["make_mesh", "get_mesh", "batch_sharding", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh",
+    "get_mesh",
+    "batch_sharding",
+    "shard_batch",
+    "replicate",
+    "prefetch_to_device",
+]

@@ -87,3 +87,26 @@ class TestDataParallelStep:
         out = run(jax.random.PRNGKey(0))
         assert out.shape == (16, 1, 3)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestPrefetch:
+    def test_prefetch_yields_all_batches(self, mesh):
+        import numpy as np
+
+        from graspldm_tpu.parallel import prefetch_to_device
+
+        batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), size=2, mesh=mesh))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert float(b["x"][0, 0]) == i
+            assert b["x"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+    def test_prefetch_without_mesh(self):
+        import numpy as np
+
+        from graspldm_tpu.parallel import prefetch_to_device
+
+        batches = [{"x": np.ones((4,), np.float32)}]
+        out = list(prefetch_to_device(iter(batches)))
+        assert len(out) == 1
