@@ -101,9 +101,13 @@ def main():
 
     def infinite_batches():
         while True:
-            yield from dataset.batches(batch_size)
+            for b in dataset.batches(batch_size):
+                yield {k: b[k] for k in ("pc", "grasps")}
 
-    trainer.fit(state, infinite_batches(), max_steps, rng, frozen_vae)
+    from graspldm_tpu.parallel import prefetch_to_device
+
+    batches = prefetch_to_device(infinite_batches(), size=2, mesh=trainer.mesh)
+    trainer.fit(state, batches, max_steps, rng, frozen_vae)
 
 
 if __name__ == "__main__":
