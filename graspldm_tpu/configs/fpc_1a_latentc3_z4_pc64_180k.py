@@ -41,6 +41,35 @@ flagship_args = dict(
 
 kl = dict(num_cycles=1, ratio=0.5, start=1e-7, stop=0.1)
 
+# registry-built loss blocks (reference `loss_config`,
+# `configs/generation/fpc/...:78-98` + `losses/builder.py:3-16`); swap
+# `reconstruction_loss.type` to "GraspControlPointsReconstructionLoss" to
+# train on gripper control-point geometry instead of tmrp MSE.
+model = dict(
+    vae=dict(
+        losses=dict(
+            reconstruction_loss=dict(
+                type="GraspReconstructionLoss",
+                args=dict(translation_weight=1, rotation_weight=1),
+            ),
+            latent_loss=dict(
+                type="VAELatentLoss",
+                args=dict(
+                    cyclical_annealing=True,
+                    num_steps=max_steps,
+                    num_cycles=1,
+                    ratio=0.5,
+                    start=1e-7,
+                    stop=0.1,
+                ),
+            ),
+            classification_loss=dict(
+                type="ClassificationLoss", args=dict(weight=0.1)
+            ),
+        ),
+    ),
+)
+
 augs_config = [
     dict(type="RandomRotation", args=dict(p=0.5, max_angle=180, is_degree=True)),
     dict(type="PointcloudJitter", args=dict(p=1, sigma=0.005, clip=0.005)),

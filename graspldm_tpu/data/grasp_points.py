@@ -130,23 +130,40 @@ class AcronymGraspPointsDataset:
         item = self.base[index]
         pc = item["pc"]
         grasps = item["grasps"]
-        # classifier operates in unnormalized (metric) space, consistent with
-        # the pc scale: keep everything in the dataset's normalized frame so
-        # the pc and gripper points agree.
-        tmrp = grasps[:, :6]
+        metas = item["metas"]
         labels = grasps[:, 6]
-        grasp_points = _transform_points(_tmrp_to_H(tmrp), self.gripper_points)
 
-        n_bogus = int(self.bogus_fraction * len(tmrp))
+        # The gripper keypoints are METRIC geometry, so the gripper clouds
+        # must be built from metric poses and only then normalized with the
+        # SAME pc stats — matching the reference pipeline, which transforms
+        # gripper points with raw poses before `preprocess_data` centers and
+        # scales pc and grasp points together
+        # (`acronym_grasp_points.py:23-127`). The base item's tmrp rows are
+        # normalized (t/0.05, mrp/0.5): using them directly would rotate by
+        # from_mrp(mrp/0.5) and mix a /0.05 translation frame with metric
+        # gripper offsets — a ~20x scale mismatch.
+        tmrp_metric = grasps[:, :6] * metas["grasp_std"] + metas["grasp_mean"]
+        pc_metric = pc * metas["pc_std"] + metas["pc_mean"]
+        grasp_points = _transform_points(
+            _tmrp_to_H(tmrp_metric), self.gripper_points
+        )
+
+        n_bogus = int(self.bogus_fraction * len(tmrp_metric))
         if n_bogus > 0:
-            bogus = self._bogus_grasp_points(pc, tmrp, n_bogus)
+            bogus = self._bogus_grasp_points(pc_metric, tmrp_metric, n_bogus)
             grasp_points = np.concatenate([grasp_points, bogus], 0)
             labels = np.concatenate([labels, np.zeros((n_bogus,), np.float32)])
             perm = self._rng.permutation(len(labels))
             grasp_points = grasp_points[perm]
             labels = labels[perm]
 
-        return {"pc": pc, "grasp_points": grasp_points, "labels": labels}
+        # normalize the gripper clouds into the pc's normalized frame
+        grasp_points = (grasp_points - metas["pc_mean"]) / metas["pc_std"]
+        return {
+            "pc": pc,
+            "grasp_points": grasp_points.astype(np.float32),
+            "labels": labels,
+        }
 
     def batches(self, batch_size: int, shuffle: bool = True) -> Iterator[Dict]:
         order = np.arange(len(self))

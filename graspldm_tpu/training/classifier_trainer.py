@@ -14,9 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..models.grasp_classifier import PointsBasedGraspClassifier
 from .classifier import binary_classification_metrics, make_classifier_train_step
-from .experiment import Experiment, save_checkpoint
+from .experiment import Experiment, restore_checkpoint, save_checkpoint
 from .optim import build_optimizer
 from .state import TrainState
 
@@ -47,6 +49,14 @@ class GraspClassificationTrainer:
         self.log_every = log_every
         self.ckpt_every = ckpt_every
         self._step_fn = None
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        """Resume from the stage's last checkpoint when present."""
+        path = self.experiment.checkpoint_path("last")
+        if os.path.exists(path):
+            state = restore_checkpoint(path, state)
+            print(f"[classifier] resumed from {path} at step {int(state.step)}")
+        return state
 
     def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
         B, G = example_batch["grasp_points"].shape[:2]

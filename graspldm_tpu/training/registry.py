@@ -23,16 +23,22 @@ def _ddm(**kwargs):
     return GraspGenerationTrainer(stage="ddm", **kwargs)
 
 
+def _elucidated_ddm(**kwargs):
+    from .trainer import GraspGenerationTrainer
+
+    return GraspGenerationTrainer(stage="elucidated_ddm", **kwargs)
+
+
 def _classifier(**kwargs):
-    raise NotImplementedError(
-        "Use graspldm_tpu.training.classifier.make_classifier_train_step with a "
-        "host loop; a high-level classifier trainer lands with the next round."
-    )
+    from .classifier_trainer import GraspClassificationTrainer
+
+    return GraspClassificationTrainer(**kwargs)
 
 
 TRAINERS: Dict[str, Callable] = {
     "vae": _vae,
     "ddm": _ddm,
+    "elucidated_ddm": _elucidated_ddm,
     "classifier": _classifier,
 }
 

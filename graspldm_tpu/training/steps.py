@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..config import LOSSES, build_from_cfg
 from ..diffusion import GaussianDiffusion1D
 from ..losses import (
     ClassificationLoss,
@@ -35,7 +36,15 @@ __all__ = ["VAELossConfig", "make_vae_train_step", "make_ddm_train_step",
 
 @dataclasses.dataclass(frozen=True)
 class VAELossConfig:
-    """Loss weights mirroring `configs/generation/fpc/...:78-98`."""
+    """Loss weights mirroring `configs/generation/fpc/...:78-98`.
+
+    ``loss_cfgs`` optionally carries the config file's ``model.vae.losses``
+    registry blocks (``{reconstruction_loss: {type, args}, latent_loss: ...,
+    classification_loss: ..., quality_loss: ...}``, the reference's
+    `losses/builder.py:3-16` convention); when present they override the
+    scalar fields here — this is how a config selects e.g.
+    ``GraspControlPointsReconstructionLoss``.
+    """
 
     translation_weight: float = 1.0
     rotation_weight: float = 1.0
@@ -49,6 +58,39 @@ class VAELossConfig:
     )
     classification_weight: Optional[float] = 0.1
     quality_weight: Optional[float] = None
+    loss_cfgs: Optional[dict] = None
+
+    def build_losses(self):
+        """Resolve (recon, kl, cls, quality) loss callables."""
+        recon = GraspReconstructionLoss(
+            translation_weight=self.translation_weight,
+            rotation_weight=self.rotation_weight,
+        )
+        kl = self.kl
+        cls_loss = (
+            ClassificationLoss(weight=self.classification_weight)
+            if self.classification_weight is not None
+            else None
+        )
+        qual_loss = (
+            QualityLoss(weight=self.quality_weight)
+            if self.quality_weight is not None
+            else None
+        )
+        lc = self.loss_cfgs or {}
+        if "reconstruction_loss" in lc:
+            recon = build_from_cfg(lc["reconstruction_loss"], LOSSES)
+        if "latent_loss" in lc:
+            kl = build_from_cfg(lc["latent_loss"], LOSSES)
+        if "classification_loss" in lc:
+            cls_loss = build_from_cfg(lc["classification_loss"], LOSSES)
+        elif lc:
+            cls_loss = None  # explicit loss block omits classification
+        if "quality_loss" in lc:
+            qual_loss = build_from_cfg(lc["quality_loss"], LOSSES)
+        elif lc:
+            qual_loss = None
+        return recon, kl, cls_loss, qual_loss
 
 
 def init_train_state(
@@ -85,25 +127,20 @@ def make_vae_train_step(
     Batch: ``pc [B, N, 3]``, ``grasps [B, G, 7(+nq)]`` (normalized rows
     ``[tmrp(6), success(1), qualities...]``).
     """
-    recon = GraspReconstructionLoss(
-        translation_weight=loss_cfg.translation_weight,
-        rotation_weight=loss_cfg.rotation_weight,
-    )
-    cls_loss = (
-        ClassificationLoss(weight=loss_cfg.classification_weight)
-        if loss_cfg.classification_weight is not None
-        else None
-    )
-    qual_loss = (
-        QualityLoss(weight=loss_cfg.quality_weight)
-        if loss_cfg.quality_weight is not None
-        else None
-    )
+    recon, kl_loss, cls_loss, qual_loss = loss_cfg.build_losses()
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         pc = batch["pc"]
         grasps = batch["grasps"]
         bg = grasps.reshape(-1, grasps.shape[-1])  # [B*G, D]
+        # per-object grasp stats for unnormalizing losses (control points);
+        # fall back to the fixed scales when the batch carries no metas
+        recon_kwargs = {}
+        if "grasp_mean" in batch and "grasp_std" in batch:
+            recon_kwargs = {
+                "grasp_mean": batch["grasp_mean"],
+                "grasp_std": batch["grasp_std"],
+            }
         k_reparam, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -124,8 +161,8 @@ def make_vae_train_step(
             tmrp_pred, cls_pred = out[0], out[1]
 
             metrics = {}
-            l_recon = recon(tmrp_pred, bg[..., :6])
-            kl_w, kl_raw = loss_cfg.kl(mu, logvar, step=state.step)
+            l_recon = recon(tmrp_pred, bg[..., :6], **recon_kwargs)
+            kl_w, kl_raw = kl_loss(mu, logvar, step=state.step)
             loss = l_recon + kl_w
             metrics["reconstruction_loss"] = l_recon
             metrics["latent_loss"] = kl_w

@@ -42,7 +42,7 @@ class GraspGenerationTrainer:
         self,
         experiment: Experiment,
         model_cfg: FlagshipConfig,
-        stage: str,  # "vae" | "ddm"
+        stage: str,  # "vae" | "ddm" | "elucidated_ddm"
         optimizer_cfg: Optional[Dict[str, Any]] = None,
         ema_cfg: Optional[EMAConfig] = EMAConfig(),
         vae_loss_cfg: Optional[VAELossConfig] = None,
@@ -51,7 +51,13 @@ class GraspGenerationTrainer:
         ckpt_every: int = 1000,
         use_vae_ema_for_ddm: bool = True,
     ):
-        assert stage in ("vae", "ddm")
+        assert stage in ("vae", "ddm", "elucidated_ddm")
+        if stage == "elucidated_ddm" and not model_cfg.elucidated:
+            # the stage name implies the EDM diffusion process
+            # (reference `tools/inference.py:472-477` / experiment modes)
+            import dataclasses
+
+            model_cfg = dataclasses.replace(model_cfg, elucidated=True)
         self.experiment = experiment
         self.stage = stage
         self.model_cfg = model_cfg
@@ -136,12 +142,9 @@ class GraspGenerationTrainer:
     def _place(self, state: TrainState, batch):
         if self.mesh is None:
             return state, batch
-        repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
         batch = {
-            k: jax.device_put(jnp.asarray(v), data)
-            for k, v in batch.items()
-            if k in ("pc", "grasps")
+            k: jax.device_put(jnp.asarray(v), data) for k, v in batch.items()
         }
         return state, batch
 

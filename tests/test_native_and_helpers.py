@@ -146,3 +146,41 @@ class TestClassifierDataset:
         assert item["grasp_points"].shape == (12, 76, 3)  # 8 + 4 bogus
         assert item["labels"].shape == (12,)
         assert set(np.unique(item["labels"])).issubset({0.0, 1.0})
+
+    def test_grasp_points_metric_consistency(self, tmp_path):
+        """Gripper clouds must live in the pc's normalized frame: rigid
+        gripper geometry (built from METRIC poses) scaled by 1/pc_std.
+
+        Regression test for the frame-mixing bug where normalized tmrp was
+        fed to Rotation.from_mrp and metric gripper offsets were mixed with
+        /0.05 translations (reference contract:
+        `acronym_grasp_points.py:88-127` normalizes pc and grasp points
+        together AFTER transforming with raw poses).
+        """
+        from graspldm_tpu.data.grasp_points import (
+            AcronymGraspPointsDataset,
+            gripper_surface_points,
+        )
+        from graspldm_tpu.data.synthetic import make_synthetic_acronym
+        from graspldm_tpu.utils.normalization import TRANSLATION_SCALE_FACTOR
+
+        root = make_synthetic_acronym(str(tmp_path / "acr"))
+        ds = AcronymGraspPointsDataset(
+            root,
+            split="train",
+            batch_num_points_per_pc=64,
+            batch_num_grasps_per_pc=8,
+            bogus_grasp_fraction=0.0,  # only true annotated grasps
+            min_num_grasps=4,
+        )
+        item = ds[0]
+        gp = gripper_surface_points(76)
+        # rotation/translation-invariant: the cloud diameter of every grasp
+        # equals the metric gripper diameter divided by the pc scale.
+        metric_diam = np.linalg.norm(gp[None] - gp[:, None], axis=-1).max()
+        pts = item["grasp_points"]
+        diffs = pts[:, None, :, :] - pts[:, :, None, :]
+        diams = np.linalg.norm(diffs, axis=-1).max(axis=(1, 2))
+        np.testing.assert_allclose(
+            diams, metric_diam / TRANSLATION_SCALE_FACTOR, rtol=1e-4
+        )

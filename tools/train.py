@@ -26,7 +26,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train GraspLDM-TPU models")
     p.add_argument("--config", required=True, help="config .py file")
     p.add_argument(
-        "--model", required=True, choices=["vae", "ddm", "classifier"],
+        "--model", required=True,
+        choices=["vae", "ddm", "elucidated_ddm", "classifier"],
         help="which stage/model to train",
     )
     p.add_argument("--batch-size", type=int, default=None)
@@ -46,7 +47,7 @@ def main():
     from graspldm_tpu.parallel import make_mesh
     from graspldm_tpu.training import EMAConfig, VAELossConfig
     from graspldm_tpu.training.experiment import Experiment
-    from graspldm_tpu.training.trainer import GraspGenerationTrainer
+    from graspldm_tpu.training.registry import get_trainer
 
     cfg = Config.fromfile(args.config)
     exp_name = os.path.splitext(os.path.basename(args.config))[0]
@@ -55,6 +56,45 @@ def main():
     max_steps = args.max_steps or cfg.get("max_steps", 180_000)
     data_root = args.data_root or cfg.get("root_data_dir")
     seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+
+    exp = Experiment(args.out_root, exp_name, args.model)
+    exp.copy_config(args.config)
+    trainer_cfg = cfg.get("trainer", {})
+    rng = jax.random.PRNGKey(seed)
+
+    if args.model == "classifier":
+        # classifier stage: gripper-point datasets + BCE trainer
+        # (reference `trainers/__init__.py:12-53` dispatch +
+        # `grasp_classification_trainer.py:27-216`)
+        ds_cfg = dict(cfg.get_path("data.classifier", {}) or {})
+        ds_cfg.setdefault("type", "AcronymGraspPointsDataset")
+        ds_cfg.setdefault("args", dict(cfg.get_path("data.train.args", {}) or {}))
+        ds_cfg["args"].pop("augs_config", None)
+        if data_root:
+            ds_cfg["args"]["data_root_dir"] = data_root
+        dataset = build_from_cfg(ds_cfg, DATASETS)
+
+        trainer = get_trainer("classifier")(
+            experiment=exp,
+            num_pc_points=ds_cfg["args"].get("batch_num_points_per_pc", 1024),
+            optimizer_cfg=cfg.get("optimizer"),
+            scale_voxel_resolution=cfg.get_path(
+                "classifier.scale_voxel_resolution", 0.75
+            ),
+            log_every=trainer_cfg.get("log_every_n_steps", 100),
+        )
+        example = next(dataset.batches(batch_size))
+        state = trainer.init_state(rng, example)
+        if cfg.get("resume_training_from_last", True):
+            state = trainer.maybe_resume(state)
+
+        def classifier_batches():
+            while True:
+                for b in dataset.batches(batch_size):
+                    yield b
+
+        trainer.fit(state, classifier_batches(), max_steps, rng)
+        return
 
     model_cfg = FlagshipConfig(**cfg.get("flagship_args", {}))
 
@@ -65,15 +105,10 @@ def main():
         ds_cfg["args"]["data_root_dir"] = data_root
     dataset = build_from_cfg(ds_cfg, DATASETS)
 
-    exp = Experiment(args.out_root, exp_name, args.model)
-    exp.copy_config(args.config)
-
-    trainer_cfg = cfg.get("trainer", {})
     ema_args = trainer_cfg.get("ema", {"beta": 0.990, "update_after_step": 1000})
-    trainer = GraspGenerationTrainer(
+    trainer = get_trainer(args.model)(
         experiment=exp,
         model_cfg=model_cfg,
-        stage=args.model,
         optimizer_cfg=cfg.get("optimizer"),
         ema_cfg=EMAConfig(**ema_args),
         vae_loss_cfg=VAELossConfig(
@@ -84,25 +119,32 @@ def main():
                 ratio=cfg.get_path("kl.ratio", 0.5),
                 start=cfg.get_path("kl.start", 1e-7),
                 stop=cfg.get_path("kl.stop", 0.1),
-            )
+            ),
+            loss_cfgs=cfg.get_path("model.vae.losses", None),
         ),
         mesh=make_mesh(),
         log_every=trainer_cfg.get("log_every_n_steps", 100),
     )
 
-    rng = jax.random.PRNGKey(seed)
     example = next(dataset.batches(batch_size))
     state = trainer.init_state(rng, example)
     if cfg.get("resume_training_from_last", True):
         state = trainer.maybe_resume(state)
     frozen_vae = None
-    if args.model == "ddm":
+    if args.model in ("ddm", "elucidated_ddm"):
         frozen_vae = trainer.load_frozen_vae(rng, example)
 
     def infinite_batches():
         while True:
             for b in dataset.batches(batch_size):
-                yield {k: b[k] for k in ("pc", "grasps")}
+                out = {k: b[k] for k in ("pc", "grasps")}
+                metas = b.get("metas") or {}
+                # per-object grasp stats ride along for losses that
+                # unnormalize (GraspControlPointsReconstructionLoss)
+                if "grasp_mean" in metas:
+                    out["grasp_mean"] = metas["grasp_mean"]
+                    out["grasp_std"] = metas["grasp_std"]
+                yield out
 
     from graspldm_tpu.parallel import prefetch_to_device
 
