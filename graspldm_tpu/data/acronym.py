@@ -47,7 +47,38 @@ __all__ = [
     "ObjectGrasps",
     "AcronymShapenetPointclouds",
     "minmax_normalize",
+    "compute_pc_regions",
 ]
+
+
+def compute_pc_regions(
+    pc: np.ndarray, num_regions: int, num_points_per_region: int,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Partition a point cloud into spatial regions for region conditioning.
+
+    FPS picks ``num_regions`` well-spread seeds, every point is assigned to
+    its nearest seed, and each region is resampled (with replacement) to a
+    fixed ``num_points_per_region`` so shapes stay static for XLA. Returns
+    ``(region_points [R, P, 3], seeds [R, 3])``. This supplies the
+    ``region_points`` metas the reference's region-conditioned inference
+    consumes (`tools/inference.py:366-398`) but whose dataset-side producer
+    is not shipped upstream.
+    """
+    from ..utils.pointcloud_helpers import farthest_point_sample_np
+
+    seed_idx = farthest_point_sample_np(pc, num_regions)
+    seeds = pc[seed_idx]  # [R, 3]
+    d = np.linalg.norm(pc[:, None, :] - seeds[None, :, :], axis=-1)  # [N, R]
+    assign = d.argmin(axis=1)
+    out = np.empty((num_regions, num_points_per_region, 3), pc.dtype)
+    for r in range(num_regions):
+        members = np.flatnonzero(assign == r)
+        if members.size == 0:  # degenerate cloud: fall back to the seed
+            members = np.asarray([seed_idx[r]])
+        pick = rng.choice(members, size=num_points_per_region, replace=True)
+        out[r] = pc[pick]
+    return out, seeds
 
 
 def minmax_normalize(
@@ -158,6 +189,9 @@ class AcronymShapenetPointclouds:
         num_repeat_dataset: int = 2,
         min_num_grasps: int = 10,
         seed: int = 0,
+        return_region_metas: bool = False,
+        num_regions: int = 4,
+        region_num_points: int = 128,
     ):
         assert rotation_repr == "mrp", "tmrp is the supported representation"
         self.root_dir = data_root_dir
@@ -168,6 +202,9 @@ class AcronymShapenetPointclouds:
         self.num_repeat = num_repeat_dataset
         self.fixed_subset = load_fixed_subset_grasps_per_obj
         self.augmentations: AugmentationPipeline = build_augmentations(augs_config)
+        self.return_region_metas = return_region_metas
+        self.num_regions = num_regions
+        self.region_num_points = region_num_points
         self._rng = np.random.default_rng(seed)
         self._mesh_cache: Dict[str, Mesh] = {}
 
@@ -287,15 +324,29 @@ class AcronymShapenetPointclouds:
             grasps = np.concatenate([grasps, quals], axis=-1)
 
         grasp_mean = np.concatenate([pc_mean, np.zeros(3)]).astype(np.float32)
+        metas = {
+            "pc_mean": pc_mean.astype(np.float32),
+            "pc_std": self._pc_scale,
+            "grasp_mean": grasp_mean,
+            "grasp_std": self._grasp_scale,
+        }
+        if self.return_region_metas:
+            # regions + per-grasp nearest-region labels, normalized frame
+            # (consumed by the region-conditioned denoiser,
+            # reference `tools/inference.py:366-398`)
+            region_pts, seeds = compute_pc_regions(
+                pc.astype(np.float32), self.num_regions,
+                self.region_num_points, rng,
+            )
+            d = np.linalg.norm(
+                tmrp[:, None, :3] - seeds[None, :, :], axis=-1
+            )
+            metas["region_points"] = region_pts
+            metas["grasp_region_labels"] = d.argmin(axis=1).astype(np.int32)
         return {
             "pc": pc.astype(np.float32),
             "grasps": grasps.astype(np.float32),
-            "metas": {
-                "pc_mean": pc_mean.astype(np.float32),
-                "pc_std": self._pc_scale,
-                "grasp_mean": grasp_mean,
-                "grasp_std": self._grasp_scale,
-            },
+            "metas": metas,
         }
 
     def batches(

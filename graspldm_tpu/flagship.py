@@ -43,6 +43,11 @@ class FlagshipConfig:
     # EDM (elucidated) diffusion instead of DDPM/DDIM
     elucidated: bool = False
     edm_num_sample_steps: int = 32
+    # task conditioning for the denoiser: None | "class" | "region"
+    # (reference `tools/inference.py:330-398` conditioning modes)
+    conditioning: Optional[str] = None
+    # points per region for the region-conditioned denoiser
+    region_num_points: int = 128
 
 
 def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
@@ -60,14 +65,40 @@ def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
         pc_scale_channels=cfg.pc_scale_channels,
         pc_scale_voxel_resolution=cfg.pc_scale_voxel_resolution,
     )
-    ddm = GraspLatentDDM(
-        latent_in_features=cfg.grasp_latent_size,
-        pc_latent_size=cfg.pc_latent_size,
-        block_channels=cfg.block_channels,
-        resnet_block_groups=cfg.resnet_block_groups,
-        dropout=cfg.dropout,
-        dtype=cfg.denoiser_dtype,
-    )
+    if cfg.conditioning == "class":
+        from .models.conditioning import ClassConditionedGraspLatentDDM
+
+        ddm = ClassConditionedGraspLatentDDM(
+            latent_in_features=cfg.grasp_latent_size,
+            pc_latent_size=cfg.pc_latent_size,
+            block_channels=cfg.block_channels,
+            resnet_block_groups=cfg.resnet_block_groups,
+            dropout=cfg.dropout,
+        )
+    elif cfg.conditioning == "region":
+        from .models.conditioning import RegionConditionedGraspLatentDDM
+
+        ddm = RegionConditionedGraspLatentDDM(
+            latent_in_features=cfg.grasp_latent_size,
+            pc_latent_size=cfg.pc_latent_size,
+            block_channels=cfg.block_channels,
+            resnet_block_groups=cfg.resnet_block_groups,
+            dropout=cfg.dropout,
+        )
+    elif cfg.conditioning is None:
+        ddm = GraspLatentDDM(
+            latent_in_features=cfg.grasp_latent_size,
+            pc_latent_size=cfg.pc_latent_size,
+            block_channels=cfg.block_channels,
+            resnet_block_groups=cfg.resnet_block_groups,
+            dropout=cfg.dropout,
+            dtype=cfg.denoiser_dtype,
+        )
+    else:
+        raise ValueError(
+            f"unknown conditioning {cfg.conditioning!r}; "
+            "expected None, 'class' or 'region'"
+        )
     if cfg.elucidated:
         from .diffusion import ElucidatedDiffusion
 

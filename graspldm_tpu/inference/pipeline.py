@@ -99,14 +99,16 @@ def ldm_generate(
     meta: Optional[NormalizationMeta] = None,
     return_trajectory: bool = False,
     cls_cond: Optional[jax.Array] = None,
+    region_points: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """LDM-mode generation: reverse diffusion in the grasp latent space.
 
     The whole sampler (S denoiser calls) runs as one `lax.scan`; with
     ``return_trajectory`` the per-step latents are decoded too
     (reference `tools/inference.py:630-643` "all_diffusion_grasps").
-    ``cls_cond`` (``[B*G]`` scalars) enables class/region-conditioned
-    denoisers (reference `tools/inference.py:330-398` conditioning modes).
+    ``cls_cond`` (``[B*G]`` scalars) / ``region_points`` (``[B*G, P, 3]``)
+    enable class/region-conditioned denoisers (reference
+    `tools/inference.py:330-398` conditioning modes).
     """
     z_pc = vae.apply(vae_variables, pc, method="encode_pc")
     z_pc_rep = jnp.repeat(z_pc, num_grasps, axis=0)
@@ -116,29 +118,44 @@ def ldm_generate(
     # compute); scheduler math stays in the latent dtype (fp32).
     p_dtype = jax.tree.leaves(ddm_variables["params"])[0].dtype
 
-    if cls_cond is None:
-        def denoise(x, t, z):
-            out = ddm.apply(
-                ddm_variables, x.astype(p_dtype), t, z.astype(p_dtype)
-            )
-            return out.astype(x.dtype)
-    else:
-        def denoise(x, t, z):
-            out = ddm.apply(
-                ddm_variables, x.astype(p_dtype), t, z.astype(p_dtype),
-                cls_cond=cls_cond,
-            )
-            return out.astype(x.dtype)
+    cond_kwargs = {}
+    if cls_cond is not None:
+        cond_kwargs["cls_cond"] = cls_cond
+    if region_points is not None:
+        cond_kwargs["region_points"] = region_points
 
-    x0, traj = diffusion.sample(
-        denoise,
-        rng,
-        batch_size=B * num_grasps,
-        z_cond=z_pc_rep,
-        num_inference_steps=num_inference_steps,
-        sampler=sampler,
-        return_trajectory=return_trajectory,
-    )
+    def denoise(x, t, z):
+        out = ddm.apply(
+            ddm_variables, x.astype(p_dtype), t, z.astype(p_dtype),
+            **cond_kwargs,
+        )
+        return out.astype(x.dtype)
+
+    from ..diffusion import ElucidatedDiffusion
+
+    if isinstance(diffusion, ElucidatedDiffusion):
+        # EDM samplers: churn (stochastic) or DPM++(2M); the reference wires
+        # DPM++ with 32 steps for elucidated checkpoints
+        # (`tools/inference.py:472-477`).
+        x0, traj = diffusion.sample(
+            denoise,
+            rng,
+            batch_size=B * num_grasps,
+            z_cond=z_pc_rep,
+            num_sample_steps=num_inference_steps,
+            use_dpmpp=(sampler == "dpmpp"),
+            return_trajectory=return_trajectory,
+        )
+    else:
+        x0, traj = diffusion.sample(
+            denoise,
+            rng,
+            batch_size=B * num_grasps,
+            z_cond=z_pc_rep,
+            num_inference_steps=num_inference_steps,
+            sampler=sampler,
+            return_trajectory=return_trajectory,
+        )
     result = decode_and_postprocess(
         vae, vae_variables, x0[:, 0, :], z_pc_rep, num_grasps, meta
     )

@@ -94,6 +94,11 @@ class InferenceBase:
                 ds_args["data_root_dir"]
             ):
                 ds_args.setdefault("num_repeat_dataset", 1)
+                if self.model_cfg.conditioning == "region":
+                    ds_args.setdefault("return_region_metas", True)
+                    ds_args.setdefault(
+                        "region_num_points", self.model_cfg.region_num_points
+                    )
                 self.dataset = AcronymShapenetPointclouds(**ds_args)
 
     def _variables_from_state(self, state: TrainState) -> Dict[str, Any]:
@@ -130,7 +135,9 @@ class InferenceBase:
         item = self.get_item(idx)
         pc = jnp.asarray(item["pc"])[None]  # [1, N, 3] normalized
         meta = self._meta_from_item(item["metas"])
-        out = self.generate(pc, num_grasps, rng, meta, **kwargs)
+        out = self.generate(
+            pc, num_grasps, rng, meta, item_metas=item["metas"], **kwargs
+        )
         out["pc"] = np.asarray(pc) * np.asarray(meta.pc_std)[:, None, :] + np.asarray(
             meta.pc_mean
         )[:, None, :]
@@ -159,7 +166,7 @@ class InferenceBase:
 class InferenceVAE(InferenceBase):
     """VAE-prior generation (`tools/inference.py:669-815`)."""
 
-    def generate(self, pc, num_grasps, rng, meta, **kwargs):
+    def generate(self, pc, num_grasps, rng, meta, item_metas=None, **kwargs):
         out = vae_generate(self.vae, self.vae_variables, pc, num_grasps, rng, meta)
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -195,11 +202,37 @@ class AcronymGroundTruthModel:
 
 
 class InferenceLDM(InferenceBase):
-    """Latent-diffusion generation (`tools/inference.py:401-666`)."""
+    """Latent-diffusion generation (`tools/inference.py:401-666`).
+
+    Discovers the diffusion stage dir (``ddm`` or ``elucidated_ddm``); for
+    elucidated checkpoints the fast sampler defaults to DPM++(2M) with 32
+    steps, matching the reference's `_setup_ldm_sampler`
+    (`tools/inference.py:463-490`).
+    """
 
     def __init__(self, exp_path: str, **kwargs):
         super().__init__(exp_path, **kwargs)
-        ddm_paths = ExperimentPaths(exp_path, "ddm")
+        try:
+            ddm_paths = ExperimentPaths(exp_path, "ddm")
+            self.ddm_mode = "ddm"
+        except FileNotFoundError:
+            ddm_paths = ExperimentPaths(exp_path, "elucidated_ddm")
+            self.ddm_mode = "elucidated_ddm"
+
+        if self.ddm_mode == "elucidated_ddm":
+            import dataclasses
+
+            if not self.model_cfg.elucidated:
+                self.model_cfg = dataclasses.replace(
+                    self.model_cfg, elucidated=True
+                )
+                self.vae, self.ddm, self.diffusion = build_flagship(
+                    self.model_cfg
+                )
+            if self.sampler not in ("dpmpp", "churn"):
+                self.sampler = "dpmpp"
+                self.num_inference_steps = self.model_cfg.edm_num_sample_steps
+
         rng = jax.random.PRNGKey(0)
         tx = build_optimizer(1e-3)
         D = self.model_cfg.grasp_latent_size
@@ -208,11 +241,77 @@ class InferenceLDM(InferenceBase):
         zc = jnp.zeros(
             (2, self.model_cfg.pc_latent_channels, self.model_cfg.pc_latent_size)
         )
-        template = init_train_state(self.ddm, tx, rng, (x, t, zc))
+        args = (x, t, zc)
+        if self.model_cfg.conditioning == "class":
+            args += (jnp.zeros((2,)),)
+        elif self.model_cfg.conditioning == "region":
+            args += (jnp.zeros((2, self.model_cfg.region_num_points, 3)),)
+        template = init_train_state(self.ddm, tx, rng, args)
         ddm_state = restore_checkpoint(ddm_paths.ckpt_path, template)
         self.ddm_variables = self._variables_from_state(ddm_state)
 
-    def generate(self, pc, num_grasps, rng, meta, cls_cond=None, **kwargs):
+    def _resolve_conditioning(
+        self, pc, num_grasps, cls_cond, region_id, item_metas
+    ):
+        """Validate requested conditioning against the checkpoint's model and
+        build the per-grasp conditioning tensors."""
+        cond = self.model_cfg.conditioning
+        B = pc.shape[0]
+        if cls_cond is not None and cond != "class":
+            raise ValueError(
+                "this checkpoint's denoiser is "
+                f"{'unconditional' if cond is None else cond + '-conditioned'}; "
+                "--conditioning class requires a class-conditioned model "
+                "(flagship_args.conditioning='class')"
+            )
+        if region_id is not None and cond != "region":
+            raise ValueError(
+                "this checkpoint's denoiser is "
+                f"{'unconditional' if cond is None else cond + '-conditioned'}; "
+                "--conditioning region requires a region-conditioned model "
+                "(flagship_args.conditioning='region')"
+            )
+        if cond == "class":
+            if cls_cond is None:
+                raise ValueError(
+                    "class-conditioned model: pass cls_cond (condition_value)"
+                )
+            cls_cond = jnp.broadcast_to(
+                jnp.asarray(cls_cond, jnp.float32).reshape(-1),
+                (B * num_grasps,),
+            )
+            return cls_cond, None
+        if cond == "region":
+            if region_id is None:
+                raise ValueError(
+                    "region-conditioned model: pass region_id (condition_value)"
+                )
+            if item_metas is None or "region_points" not in item_metas:
+                raise ValueError(
+                    "region conditioning needs dataset region metas "
+                    "(build the dataset with return_region_metas=True)"
+                )
+            rp = jnp.asarray(item_metas["region_points"])[int(region_id)]
+            region_points = jnp.broadcast_to(
+                rp[None], (B * num_grasps,) + rp.shape
+            )
+            return None, region_points
+        return None, None
+
+    def generate(
+        self,
+        pc,
+        num_grasps,
+        rng,
+        meta,
+        cls_cond=None,
+        region_id=None,
+        item_metas=None,
+        **kwargs,
+    ):
+        cls_cond, region_points = self._resolve_conditioning(
+            pc, num_grasps, cls_cond, region_id, item_metas
+        )
         out = ldm_generate(
             self.vae,
             self.vae_variables,
@@ -226,5 +325,6 @@ class InferenceLDM(InferenceBase):
             sampler=self.sampler,
             meta=meta,
             cls_cond=cls_cond,
+            region_points=region_points,
         )
         return {k: np.asarray(v) for k, v in out.items()}

@@ -243,6 +243,20 @@ def make_ddm_train_step(
         z_h = jax.lax.stop_gradient(z_h)[:, None, :]  # [BG, 1, D]
         z_cond = jax.lax.stop_gradient(z_pc_rep)
 
+        # task conditioning (class scalar / per-grasp region points) rides
+        # along in the batch for conditioned denoisers
+        cond_kwargs = {}
+        if "cls_cond" in batch:
+            cond_kwargs["cls_cond"] = batch["cls_cond"].reshape(-1)
+        if "region_points" in batch and "grasp_region_labels" in batch:
+            # [B, R, P, 3] gathered by per-grasp labels [B, G] -> [BG, P, 3]
+            rp = batch["region_points"]
+            labels = batch["grasp_region_labels"].astype(jnp.int32)
+            sel = jax.vmap(lambda r, l: r[l])(rp, labels)  # [B, G, P, 3]
+            cond_kwargs["region_points"] = sel.reshape(
+                -1, rp.shape[-2], rp.shape[-1]
+            )
+
         def loss_fn(params):
             variables = {"params": params}
             if state.constants is not None:
@@ -250,7 +264,8 @@ def make_ddm_train_step(
 
             def denoise(x, t, z):
                 return ddm.apply(
-                    variables, x, t, z, train=True, rngs={"dropout": k_drop}
+                    variables, x, t, z, train=True, rngs={"dropout": k_drop},
+                    **cond_kwargs,
                 )
 
             loss = loss_weight * diffusion.loss(denoise, z_h, k_diff, z_cond)

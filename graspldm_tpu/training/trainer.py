@@ -35,6 +35,15 @@ from .experiment import Experiment, restore_checkpoint, save_checkpoint
 __all__ = ["GraspGenerationTrainer"]
 
 
+def _conditioning_example(model_cfg: FlagshipConfig, bg: int) -> tuple:
+    """Extra positional example args for conditioned denoiser init."""
+    if model_cfg.conditioning == "class":
+        return (jnp.zeros((bg,)),)
+    if model_cfg.conditioning == "region":
+        return (jnp.zeros((bg, model_cfg.region_num_points, 3)),)
+    return ()
+
+
 class GraspGenerationTrainer:
     """Host-side trainer for one stage over an infinite batch iterator."""
 
@@ -104,7 +113,8 @@ class GraspGenerationTrainer:
         zc = jnp.zeros(
             (BG, self.model_cfg.pc_latent_channels, self.model_cfg.pc_latent_size)
         )
-        return init_train_state(self.ddm, self.tx, rng, (x, t, zc))
+        args = (x, t, zc) + _conditioning_example(self.model_cfg, BG)
+        return init_train_state(self.ddm, self.tx, rng, args)
 
     def load_frozen_vae(self, rng: jax.Array, example_batch) -> dict:
         """Load stage-1 weights for stage-2 (EMA by default, like

@@ -32,7 +32,10 @@ def parse_args():
     p.add_argument("--num_samples", type=int, default=1,
                    help="number of dataset objects to sample")
     p.add_argument("--inference_steps", type=int, default=100)
-    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
+    p.add_argument("--sampler", default="ddim",
+                   choices=["ddim", "ddpm", "dpmpp", "churn"],
+                   help="ddim/ddpm for gaussian checkpoints; dpmpp/churn for "
+                        "elucidated (EDM) checkpoints")
     p.add_argument("--no_ema", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_npz", default=None)
@@ -65,14 +68,14 @@ def main():
     )
 
     infer_kwargs = {}
-    if args.conditioning != "unconditional":
-        # class/region conditioning: a scalar label per grasp fed to the
-        # class-conditioned denoiser (metas["mode_cls"] semantics).
-        import jax.numpy as jnp
-
-        infer_kwargs["cls_cond"] = jnp.full(
-            (args.num_grasps,), args.condition_value
-        )
+    if args.conditioning == "class":
+        # scalar class label per grasp (metas["mode_cls"] semantics,
+        # reference `tools/inference.py:330-364`)
+        infer_kwargs["cls_cond"] = float(args.condition_value)
+    elif args.conditioning == "region":
+        # region id selecting the dataset item's region_points metas
+        # (reference `tools/inference.py:366-398`)
+        infer_kwargs["region_id"] = int(args.condition_value)
 
     rng = np.random.default_rng(args.seed)
     results = []

@@ -144,6 +144,10 @@ def main():
                 if "grasp_mean" in metas:
                     out["grasp_mean"] = metas["grasp_mean"]
                     out["grasp_std"] = metas["grasp_std"]
+                # region conditioning metas for region-conditioned denoisers
+                if "region_points" in metas:
+                    out["region_points"] = metas["region_points"]
+                    out["grasp_region_labels"] = metas["grasp_region_labels"]
                 yield out
 
     from graspldm_tpu.parallel import prefetch_to_device
