@@ -64,13 +64,26 @@ class Experiment:
 
 
 def save_checkpoint(path: str, state: TrainState) -> None:
-    """Save a TrainState with Orbax (overwrites)."""
+    """Save a TrainState with Orbax (overwrites atomically).
+
+    The previous checkpoint is kept until the replacement is fully written:
+    save to a sibling temp dir, then swap. A crash or preemption mid-save
+    therefore never destroys the only resume point.
+    """
     path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    old = path + ".old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    ckptr.save(path, jax.device_get(state))
+    ckptr.save(tmp, jax.device_get(state))
     ckptr.wait_until_finished()
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def restore_checkpoint(path: str, target: TrainState) -> TrainState:

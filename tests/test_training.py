@@ -1,5 +1,7 @@
 """Train-step smoke tests (tiny shapes) + end-to-end pipeline shape checks."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -115,6 +117,48 @@ class TestCheckpointRoundtrip:
         assert all(jax.tree.leaves(chex_equal))
         exp.log_metrics(1, {"loss": 1.0})
         assert (tmp_path / "exp_test" / "vae" / "logs" / "metrics.jsonl").exists()
+
+    def test_save_is_crash_safe(self, tiny_setup, tmp_path, monkeypatch):
+        """A failure mid-save must not destroy the existing checkpoint
+        (ADVICE round-1: the old save_checkpoint rmtree'd 'last' first)."""
+        import orbax.checkpoint as ocp
+
+        from graspldm_tpu.training.experiment import (
+            Experiment,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        cfg, vae, ddm, diffusion, tx, batch, rng = tiny_setup
+        exp = Experiment(str(tmp_path), "exp_crash", "vae")
+        state = init_train_state(
+            vae, tx, rng, (batch["pc"], batch["grasps"].reshape(-1, 7)), {"rng": rng}
+        )
+        path = exp.checkpoint_path("last")
+        save_checkpoint(path, state)
+
+        # second save crashes mid-write
+        real_save = ocp.StandardCheckpointer.save
+
+        def boom(self, *a, **k):
+            raise RuntimeError("simulated preemption")
+
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+        state2 = state.replace(step=state.step + 1)
+        with np.testing.assert_raises(RuntimeError):
+            save_checkpoint(path, state2)
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", real_save)
+
+        # the original checkpoint is still restorable
+        restored = restore_checkpoint(path, state)
+        assert int(restored.step) == int(state.step)
+
+        # and a successful overwrite leaves no stale temp dirs behind
+        save_checkpoint(path, state2)
+        assert not os.path.exists(path + ".tmp")
+        assert not os.path.exists(path + ".old")
+        restored = restore_checkpoint(path, state2)
+        assert int(restored.step) == int(state2.step)
 
 
 class TestClassifierStep:
