@@ -69,7 +69,28 @@ def main():
     dt = sum(times) / iters
 
     grasps_per_sec = B * G / dt
-    p50_ms_per_object = sorted(times)[len(times) // 2] / B * 1e3
+    # amortized per-object cost inside the batched program (NOT a latency)
+    p50_ms_per_object_amortized = sorted(times)[len(times) // 2] / B * 1e3
+
+    # true single-object latency: a separate B=1 jitted program
+    pc1 = pc[:1]
+
+    @jax.jit
+    def generate_one(vv, dv, pc, key):
+        return ldm_generate(
+            vae, vv, ddm, dv, diffusion, pc, G, key,
+            num_inference_steps=STEPS, sampler="ddim",
+        )
+
+    out1 = generate_one(vae_vars, ddm_vars, pc1, rng)
+    jax.block_until_ready(out1["grasps"])
+    lat = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out1 = generate_one(vae_vars, ddm_vars, pc1, jax.random.PRNGKey(i))
+        jax.block_until_ready(out1["grasps"])
+        lat.append(time.perf_counter() - t0)
+    p50_ms_single_object = sorted(lat)[len(lat) // 2] * 1e3
 
     # secondary: VAE-mode samples/sec (BASELINE.md tracked metric)
     from graspldm_tpu.inference import vae_generate
@@ -91,7 +112,10 @@ def main():
             {
                 "grasps_per_sec_per_chip_100_ddim_steps": round(grasps_per_sec, 1),
                 "vae_samples_per_sec": round(vae_samples_per_sec, 1),
-                "p50_latency_per_object_ms": round(p50_ms_per_object, 2),
+                "p50_latency_per_object_ms_amortized": round(
+                    p50_ms_per_object_amortized, 2
+                ),
+                "p50_latency_single_object_ms": round(p50_ms_single_object, 2),
                 "B": B,
                 "G": G,
                 "steps": STEPS,
