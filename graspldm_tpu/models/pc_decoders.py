@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from .pvcnn import PVConv, SharedMLP
 
-__all__ = ["PVCNNInvert", "PVCNNDecoder"]
+__all__ = ["PVCNNInvert", "PVCNNDecoder", "PVCNN2Invert", "PVCNN2Decoder"]
 
 
 def invert_block_spec(
@@ -107,4 +107,67 @@ class PVCNNDecoder(nn.Module):
             num_blocks=tuple(self.num_blocks),
             name="invert",
         )(coords, train=train)
+        return coords + nn.Dense(3, name="xyz_head")(feats)
+
+
+class PVCNN2Invert(nn.Module):
+    """Inverted PVCNN2: the full SA/FP hourglass over a latent point set.
+
+    Reference `pc_decoders.py:100-205`: identical SA/FP specs to PVCNN2 but
+    consuming an expanded latent cloud whose first 3 channels act as
+    pseudo-coordinates. Returns (features, coords).
+    """
+
+    extra_feature_channels: int = 0
+    dropout: float = 0.1
+    sa_blocks: Optional[Tuple] = None  # None = PVCNN2 defaults
+    fp_blocks: Optional[Tuple] = None
+
+    @nn.compact
+    def __call__(
+        self, features: jax.Array, *, train: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
+        from .pvcnn2 import FP_BLOCKS, SA_BLOCKS, PVCNN2
+
+        backbone = PVCNN2(
+            extra_feature_channels=features.shape[-1] - 3,
+            dropout=self.dropout,
+            sa_blocks=self.sa_blocks or SA_BLOCKS,
+            fp_blocks=self.fp_blocks or FP_BLOCKS,
+            name="hourglass",
+        )
+        out = backbone(features, train=train)
+        return out, features[..., :3]
+
+
+class PVCNN2Decoder(nn.Module):
+    """Latent vector -> point cloud via the PVCNN2Invert hourglass.
+
+    Reference `pc_decoders.py:292-353` (PVCNNDecoder with the PVCNN2Invert
+    backbone): a Dense seeds ``n_points`` coarse positions, a 1x1-conv stack
+    expands the single latent channel, the hourglass refines, an xyz head
+    emits coordinates.
+    """
+
+    n_points: int = 1024
+    latent_dims: int = 128
+    expand_channels: int = 16
+    sa_blocks: Optional[Tuple] = None
+    fp_blocks: Optional[Tuple] = None
+
+    @nn.compact
+    def __call__(self, z: jax.Array, *, train: bool = False) -> jax.Array:
+        """``z [B, D]`` -> ``[B, n_points, 3]``."""
+        B = z.shape[0]
+        seed = nn.Dense(self.n_points, name="in_layer")(z)  # [B, N]
+        h = seed[:, :, None]  # [B, N, 1]
+        h = nn.Dense(self.expand_channels, use_bias=False, name="expand")(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="expand_bn",
+        )(h)
+        h = nn.relu(h)
+        feats, coords = PVCNN2Invert(
+            sa_blocks=self.sa_blocks, fp_blocks=self.fp_blocks, name="invert"
+        )(h, train=train)
         return coords + nn.Dense(3, name="xyz_head")(feats)
