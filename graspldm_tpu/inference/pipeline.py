@@ -63,6 +63,99 @@ def decode_and_postprocess(
     return result
 
 
+def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl):
+    """Resolve the denoiser hot path (see ``ldm_generate.denoiser_impl``)."""
+    from ..models.grasp_ldm import GraspLatentDDM
+
+    qualifies = (
+        not cond_kwargs
+        and isinstance(ddm, GraspLatentDDM)
+        and ddm.latent_in_features == 4
+        and not ddm.learned_variance
+        and ddm.random_fourier_features
+    )
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if qualifies and jax.default_backend() not in ("cpu",)
+            else "flax"
+        )
+    if impl in ("pallas", "stacked") and not qualifies:
+        raise ValueError(
+            f"denoiser_impl={impl!r} supports only the unconditional "
+            "flagship GraspLatentDDM (4-dim latent, random Fourier time "
+            "embedding)"
+        )
+
+    if impl == "pallas":
+        from ..models.fused_denoiser import DenoiserDims
+        from ..models.stacked_pallas import (
+            pack_pallas_weights,
+            stacked_denoiser_pallas_apply,
+        )
+
+        dims = DenoiserDims(
+            seq_len=ddm.latent_in_features,
+            block_channels=tuple(ddm.block_channels),
+            groups=ddm.resnet_block_groups,
+            emb_dim=ddm.latent_in_features * 4,
+            cond_channels=3,
+            cond_dim=ddm.pc_latent_size,
+            fourier_dim=ddm.learned_sinusoidal_dim,
+        )
+        # compute precision follows the model's declared compute dtype
+        # (FlagshipConfig.denoiser_dtype), not silently bf16
+        dtype = (
+            jnp.bfloat16 if ddm.dtype == jnp.bfloat16 else jnp.float32
+        )
+        w = pack_pallas_weights(ddm_variables, dims, dtype=dtype)
+
+        def denoise(x, t, z):
+            out = stacked_denoiser_pallas_apply(w, x, t, z, dims)
+            return out.astype(x.dtype)
+
+        return denoise
+
+    if impl == "stacked":
+        from ..models.fused_denoiser import DenoiserDims
+        from ..models.stacked_denoiser import (
+            pack_stacked_weights,
+            stacked_denoiser_apply,
+        )
+
+        dims = DenoiserDims(
+            seq_len=ddm.latent_in_features,
+            block_channels=tuple(ddm.block_channels),
+            groups=ddm.resnet_block_groups,
+            emb_dim=ddm.latent_in_features * 4,
+            cond_channels=3,
+            cond_dim=ddm.pc_latent_size,
+            fourier_dim=ddm.learned_sinusoidal_dim,
+        )
+        w = pack_stacked_weights(ddm_variables, dims)
+        cast = jnp.bfloat16 if ddm.dtype == jnp.bfloat16 else None
+        if cast is not None:
+            w = {k: v.astype(cast) for k, v in w.items()}
+
+        def denoise(x, t, z):
+            out = stacked_denoiser_apply(w, x, t, z, dims, compute_dtype=cast)
+            return out.astype(x.dtype)
+
+        return denoise
+
+    if impl != "flax":
+        raise ValueError(f"unknown denoiser_impl {impl!r}")
+
+    def denoise(x, t, z):
+        out = ddm.apply(
+            ddm_variables, x.astype(p_dtype), t, z.astype(p_dtype),
+            **cond_kwargs,
+        )
+        return out.astype(x.dtype)
+
+    return denoise
+
+
 def vae_generate(
     vae,
     vae_variables: Dict[str, Any],
@@ -100,6 +193,7 @@ def ldm_generate(
     return_trajectory: bool = False,
     cls_cond: Optional[jax.Array] = None,
     region_points: Optional[jax.Array] = None,
+    denoiser_impl: str = "auto",
 ) -> Dict[str, jax.Array]:
     """LDM-mode generation: reverse diffusion in the grasp latent space.
 
@@ -109,6 +203,14 @@ def ldm_generate(
     ``cls_cond`` (``[B*G]`` scalars) / ``region_points`` (``[B*G, P, 3]``)
     enable class/region-conditioned denoisers (reference
     `tools/inference.py:330-398` conditioning modes).
+
+    ``denoiser_impl`` selects the denoiser hot path:
+      * "pallas"  — per-stage fused TPU kernels (activations in VMEM;
+                    ~2.6x faster per step than the flax lowering at
+                    BG=8192 bf16), unconditional flagship dims only;
+      * "stacked" — banded-matmul XLA formulation (~1.7x);
+      * "flax"    — the plain module apply;
+      * "auto"    — "pallas" on TPU when the model qualifies, else "flax".
     """
     z_pc = vae.apply(vae_variables, pc, method="encode_pc")
     z_pc_rep = jnp.repeat(z_pc, num_grasps, axis=0)
@@ -124,12 +226,9 @@ def ldm_generate(
     if region_points is not None:
         cond_kwargs["region_points"] = region_points
 
-    def denoise(x, t, z):
-        out = ddm.apply(
-            ddm_variables, x.astype(p_dtype), t, z.astype(p_dtype),
-            **cond_kwargs,
-        )
-        return out.astype(x.dtype)
+    denoise = _make_denoise_fn(
+        ddm, ddm_variables, cond_kwargs, p_dtype, denoiser_impl
+    )
 
     from ..diffusion import ElucidatedDiffusion
 

@@ -13,8 +13,15 @@ the flagship TimeConditionedResNet1D as a chain over POSITION SLICES
 Two consumers:
   * :func:`fused_denoiser_reference` — pure-jnp, numerically equal to
     ``GraspLatentDDM.apply`` (tested); documents the math.
-  * the Pallas kernel in :mod:`graspldm_tpu.models.pallas_denoiser`, which
-    runs the whole chain with weights resident in VMEM.
+  * the stacked-matmul formulations built on these packed weights:
+    :mod:`graspldm_tpu.models.stacked_denoiser` (XLA) and
+    :mod:`graspldm_tpu.models.stacked_pallas` (per-stage TPU kernels, the
+    production sampler fast path).
+
+A round-1 single-mega-kernel variant (`pallas_denoiser.py`) was measured at
+20-50 min Mosaic compiles and 10.4 ms/call (slower than XLA) and was removed;
+the per-stage stacked kernels compile in ~40 s and run 2.6x faster than the
+flax lowering (see git history / ARCHITECTURE.md).
 """
 
 from __future__ import annotations

@@ -37,3 +37,60 @@ def test_fused_reference_matches_flax_module():
     got = np.asarray(fused_denoiser_reference(w, x, t, zc, DIMS))
     # fp32 reduction-order differences (slice formulation vs conv lowering)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=5e-4)
+
+
+def test_stacked_denoiser_parity():
+    """Stacked-matmul formulation (banded conv matrices) equals the flax
+    module — the production fast path for unconditional flagship sampling."""
+    from graspldm_tpu.models.stacked_denoiser import (
+        FLAGSHIP_DIMS,
+        pack_stacked_weights,
+        stacked_denoiser_apply,
+    )
+
+    ddm = GraspLatentDDM(dropout=None)
+    key = jax.random.PRNGKey(4)
+    BG = 12
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = (jnp.arange(BG, dtype=jnp.int32) * 83) % 1000
+    zc = jax.random.normal(jax.random.PRNGKey(5), (BG, 3, 64))
+    variables = ddm.init({"params": key}, x, t, zc)
+    want = np.asarray(ddm.apply(variables, x, t, zc))
+
+    w = pack_stacked_weights(variables, FLAGSHIP_DIMS)
+    got = np.asarray(stacked_denoiser_apply(w, x, t, zc, FLAGSHIP_DIMS))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=5e-4)
+
+    # bf16 compute path stays close to fp32 (it is the bench configuration)
+    got_bf16 = np.asarray(
+        stacked_denoiser_apply(w, x, t, zc, FLAGSHIP_DIMS,
+                               compute_dtype=jnp.bfloat16)
+    )
+    np.testing.assert_allclose(got_bf16, want, atol=0.15, rtol=0.1)
+
+
+def test_stacked_pallas_interpret_parity():
+    """The per-stage Pallas kernels (interpret mode, runs anywhere) match the
+    flax module exactly in fp32 — the production TPU fast path."""
+    from graspldm_tpu.models.stacked_pallas import (
+        FLAGSHIP_DIMS,
+        pack_pallas_weights,
+        stacked_denoiser_pallas_apply,
+    )
+
+    ddm = GraspLatentDDM(dropout=None)
+    key = jax.random.PRNGKey(6)
+    BG = 16
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = (jnp.arange(BG, dtype=jnp.int32) * 37) % 1000
+    zc = jax.random.normal(jax.random.PRNGKey(7), (BG, 3, 64))
+    variables = ddm.init({"params": key}, x, t, zc)
+    want = np.asarray(ddm.apply(variables, x, t, zc))
+
+    w = pack_pallas_weights(variables, FLAGSHIP_DIMS, dtype=jnp.float32)
+    got = np.asarray(
+        stacked_denoiser_pallas_apply(
+            w, x, t, zc, FLAGSHIP_DIMS, block_rows=8, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=5e-4)
