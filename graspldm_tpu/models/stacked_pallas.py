@@ -294,6 +294,64 @@ def _attention_k(x, g, i, L, C, H, D):
 # ---------------------------------------------------------------------------
 
 
+def _full_kernel(names, dims, cins, *refs):
+    """All stages in one launch: zero inter-stage HBM round-trips."""
+    x_ref, emb_ref = refs[0], refs[1]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[2:-1])}
+    L = dims.seq_len
+    x = x_ref[...]
+    emb = emb_ref[...]
+    for i, C in enumerate(cins):
+        x = _resblock_k(x, emb, g, f"b{i}r1", L, C, dims.cond_channels)
+        x = _resblock_k(x, emb, g, f"b{i}r2", L, C, dims.cond_channels)
+        x = _attention_k(x, g, i, L, C, dims.heads, dims.dim_head)
+        x = _mmf(x, g[f"b{i}_proj_W"]).astype(x.dtype) + g[f"b{i}_proj_b"]
+    x = _resblock_k(x, emb, g, "final", L, dims.block_channels[-1],
+                    dims.cond_channels)
+    out_ref[...] = _mmf(x, g["final_W"]).astype(x.dtype) + g["final_b"]
+
+
+def _run_full(w, x, emb_s, dims, cins, block_rows, interpret):
+    R = block_rows
+    BG = x.shape[0]
+    assert BG % R == 0
+    L = dims.seq_len
+    names = []
+    for i, C in enumerate(cins):
+        names += _stage_weight_names(w, i, dims, C, final=False)
+    names += _stage_weight_names(w, 0, dims, dims.block_channels[-1],
+                                 final=True)
+    seen = set()
+    names = [n for n in names if not (n in seen or seen.add(n))]
+    arrays = [w[n] for n in names]
+
+    in_specs = [
+        pl.BlockSpec((R, x.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, emb_s.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for a in arrays:
+        nd = a.ndim
+        in_specs.append(
+            pl.BlockSpec(a.shape, (lambda i, _nd=nd: (0,) * _nd),
+                         memory_space=pltpu.VMEM)
+        )
+    return pl.pallas_call(
+        functools.partial(_full_kernel, names, dims, cins),
+        grid=(BG // R,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BG, L), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(x, emb_s, *arrays)
+
+
 def _stage_kernel(names, dims, stage_i, C, *refs):
     x_ref, emb_ref = refs[0], refs[1]
     out_ref = refs[-1]
@@ -398,12 +456,18 @@ def stacked_denoiser_pallas_apply(
     dims: DenoiserDims = FLAGSHIP_DIMS,
     block_rows: int = 512,
     interpret: bool = False,
+    fuse_stages: bool = False,
 ) -> jax.Array:
-    """Full denoiser forward via per-stage Pallas kernels.
+    """Full denoiser forward via fused Pallas kernels.
 
     Args:
         w: tree from :func:`pack_pallas_weights` (bf16 weights + fp32 aux).
         x: ``[BG, 1, L]`` latents; t ``[BG]``; z_cond ``[BG, Ce, cond_dim]``.
+        fuse_stages: run the WHOLE network in one kernel launch instead of
+            one kernel per stage. Measured a wash on v5e (1.58-1.72 ms/step
+            fused vs 1.58-1.61 per-stage at BG=8192 bf16, identical
+            outputs): the chain is compute-bound inside the kernels, not on
+            inter-stage HBM round-trips. Kept for R/topology experiments.
     """
     in_dtype = x.dtype
     dtype = w["init_W"].dtype
@@ -422,9 +486,14 @@ def stacked_denoiser_pallas_apply(
         )
     # channel growth between stages rides the stage's first res conv, so the
     # input width of stage i is L * C_{i-1}; stage 0 consumes the init width.
-    for i in range(len(dims.block_channels)):
-        X = _run_stage(w, X, emb_s, dims, i, False, R, interpret)
-    X = _run_stage(w, X, emb_s, dims, 0, True, R, interpret)
+    dim0 = w["init_W"].shape[1] // L
+    cins = [dim0] + list(dims.block_channels[:-1])
+    if fuse_stages:
+        X = _run_full(w, X, emb_s, dims, cins, R, interpret)
+    else:
+        for i in range(len(dims.block_channels)):
+            X = _run_stage(w, X, emb_s, dims, i, False, R, interpret)
+        X = _run_stage(w, X, emb_s, dims, 0, True, R, interpret)
     if pad:
         X = X[:BG]
     return X[:, None, :].astype(in_dtype)
