@@ -63,8 +63,13 @@ def decode_and_postprocess(
     return result
 
 
-def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl):
-    """Resolve the denoiser hot path (see ``ldm_generate.denoiser_impl``)."""
+def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
+                     z_cond=None):
+    """Resolve the denoiser hot path (see ``ldm_generate.denoiser_impl``).
+
+    ``z_cond`` (when known up front) lets the kernel paths hoist the
+    step-invariant conditioning embedding out of the sampler scan.
+    """
     from ..models.grasp_ldm import GraspLatentDDM
 
     qualifies = (
@@ -110,8 +115,26 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl):
         )
         w = pack_pallas_weights(ddm_variables, dims, dtype=dtype)
 
+        from ..models.stacked_denoiser import compute_input_emb
+
+        # the conditioning embedding is constant across sampler steps:
+        # computing it HERE (outside the sampler's lax.scan) means the scan
+        # body only fuses the tiny per-step time embedding
+        input_emb = (
+            compute_input_emb(w, z_cond.astype(jnp.float32))
+            if z_cond is not None
+            else None
+        )
+
         def denoise(x, t, z):
-            out = stacked_denoiser_pallas_apply(w, x, t, z, dims)
+            ie = (
+                input_emb
+                if input_emb is not None
+                else compute_input_emb(w, z.astype(jnp.float32))
+            )
+            out = stacked_denoiser_pallas_apply(
+                w, x, t, z, dims, input_emb=ie
+            )
             return out.astype(x.dtype)
 
         return denoise
@@ -227,7 +250,8 @@ def ldm_generate(
         cond_kwargs["region_points"] = region_points
 
     denoise = _make_denoise_fn(
-        ddm, ddm_variables, cond_kwargs, p_dtype, denoiser_impl
+        ddm, ddm_variables, cond_kwargs, p_dtype, denoiser_impl,
+        z_cond=z_pc_rep,
     )
 
     from ..diffusion import ElucidatedDiffusion

@@ -265,14 +265,27 @@ def _attention_stacked(x, w, i, dims):
     return x + out
 
 
-def compute_emb_s_stacked(w, t, z_cond):
+def compute_time_emb(w, t):
+    """Per-sample time embedding ``[B, emb]`` (random Fourier + MLP)."""
     tf = t.astype(jnp.float32)[:, None]
     freqs = tf * w["fourier_w"][None, :] * (2.0 * math.pi)
     t_feat = jnp.concatenate([tf, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
     t_emb = t_feat @ w["time_w1"] + w["time_b1"]
     t_emb = jax.nn.gelu(t_emb, approximate=False)
-    t_emb = t_emb @ w["time_w2"] + w["time_b2"]
-    input_emb = jax.nn.silu(z_cond @ w["input_w"] + w["input_b"])
+    return t_emb @ w["time_w2"] + w["time_b2"]
+
+
+def compute_input_emb(w, z_cond):
+    """Conditioning embedding ``[B, Ce, emb]`` — CONSTANT across sampler
+    steps (z_cond is fixed), so hoist it out of the scan and pass it to
+    :func:`compute_emb_s_stacked` via ``input_emb``."""
+    return jax.nn.silu(z_cond @ w["input_w"] + w["input_b"])
+
+
+def compute_emb_s_stacked(w, t, z_cond=None, input_emb=None):
+    if input_emb is None:
+        input_emb = compute_input_emb(w, z_cond)
+    t_emb = compute_time_emb(w, t)
     latent = t_emb[:, None, :] + input_emb
     return jax.nn.silu(latent).reshape(latent.shape[0], -1)
 
