@@ -76,8 +76,14 @@ class AcronymPartialPointclouds:
         preempt_load_data: bool = True,
         num_repeat_dataset: int = 2,
         seed: int = 0,
+        return_region_metas: bool = False,
+        num_regions: int = 4,
+        region_num_points: int = 128,
     ):
         assert rotation_repr == "mrp"
+        self.return_region_metas = return_region_metas
+        self.num_regions = num_regions
+        self.region_num_points = region_num_points
         self.data_dir = os.path.join(data_root_dir, split)
         self.num_points = num_points_per_pc
         self.num_grasps = num_grasps_per_obj
@@ -254,20 +260,31 @@ class AcronymPartialPointclouds:
         if quals.shape[-1]:
             grasps = np.concatenate([grasps, quals], axis=-1)
 
+        metas = {
+            "pc_mean": pc_mean.astype(np.float32),
+            "pc_std": np.full((3,), TRANSLATION_SCALE_FACTOR, np.float32),
+            "grasp_mean": np.concatenate(
+                [pc_mean, np.zeros(3)]
+            ).astype(np.float32),
+            "grasp_std": np.array(
+                [TRANSLATION_SCALE_FACTOR] * 3 + [ROTATION_SCALE_FACTOR] * 3,
+                np.float32,
+            ),
+        }
+        if self.return_region_metas:
+            from .acronym import compute_pc_regions
+
+            region_pts, seeds = compute_pc_regions(
+                pc.astype(np.float32), self.num_regions,
+                self.region_num_points, rng,
+            )
+            d = np.linalg.norm(tmrp[:, None, :3] - seeds[None, :, :], axis=-1)
+            metas["region_points"] = region_pts
+            metas["grasp_region_labels"] = d.argmin(axis=1).astype(np.int32)
         return {
             "pc": pc.astype(np.float32),
             "grasps": grasps.astype(np.float32),
-            "metas": {
-                "pc_mean": pc_mean.astype(np.float32),
-                "pc_std": np.full((3,), TRANSLATION_SCALE_FACTOR, np.float32),
-                "grasp_mean": np.concatenate(
-                    [pc_mean, np.zeros(3)]
-                ).astype(np.float32),
-                "grasp_std": np.array(
-                    [TRANSLATION_SCALE_FACTOR] * 3 + [ROTATION_SCALE_FACTOR] * 3,
-                    np.float32,
-                ),
-            },
+            "metas": metas,
         }
 
     def batches(

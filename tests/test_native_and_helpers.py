@@ -184,3 +184,25 @@ class TestClassifierDataset:
         np.testing.assert_allclose(
             diams, metric_diam / TRANSLATION_SCALE_FACTOR, rtol=1e-4
         )
+
+    def test_partial_region_metas(self, tmp_path):
+        """Region conditioning metas also available from the partial-pc
+        dataset (parity with the full-pc path)."""
+        from graspldm_tpu.data.partial import AcronymPartialPointclouds
+        from graspldm_tpu.data.synthetic import make_synthetic_partial_scenes
+
+        root = str(tmp_path / "partial")
+        make_synthetic_partial_scenes(root, num_scenes=1, cams_per_scene=1,
+                                      grasps_per_scene=16)
+        ds = AcronymPartialPointclouds(
+            root, split="train", num_points_per_pc=128,
+            num_grasps_per_obj=8, min_usable_pc_points=64,
+            num_repeat_dataset=1, return_region_metas=True,
+            num_regions=3, region_num_points=32,
+        )
+        item = ds[0]
+        m = item["metas"]
+        assert m["region_points"].shape == (3, 32, 3)
+        assert m["grasp_region_labels"].shape == (8,)
+        assert m["grasp_region_labels"].min() >= 0
+        assert m["grasp_region_labels"].max() < 3
