@@ -174,6 +174,13 @@ class GraspGenerationTrainer:
                 frozen_vae = jax.device_put(
                     frozen_vae, NamedSharding(self.mesh, P())
                 )
+        else:
+            # commit to device ONCE: restored checkpoints are host numpy, and
+            # leaving them on host would re-transfer the whole frozen VAE
+            # every step (measured ~1 s/step through a remote-chip tunnel)
+            state = jax.device_put(state)
+            if frozen_vae is not None:
+                frozen_vae = jax.device_put(frozen_vae)
 
         t_last = time.perf_counter()
         best_loss = float("inf")
