@@ -477,8 +477,18 @@ def stacked_denoiser_pallas_apply(
     dtype = w["init_W"].dtype
     L = dims.seq_len
     BG = x.shape[0]
-    R = min(block_rows, BG)
-    pad = (-BG) % R
+    # Per-stage timing at BG=8192/R=512: stage0 (width 16) ~0.30 ms,
+    # stage1 ~0.31, stage2 ~0.41, stage3 ~0.70, final ~0.54 — the NARROW
+    # stages are bounded by per-op issue latency, not FLOPs or chunk count
+    # (giving them 8x larger row blocks measured WORSE: 1.67 vs 1.58
+    # ms/step). A uniform R is the best-known configuration; per-stage
+    # block sizes are accepted for experiments.
+    if isinstance(block_rows, int):
+        rs = [block_rows] * (len(dims.block_channels) + 1)
+    else:
+        rs = list(block_rows)
+    rs = [min(r, BG) for r in rs]
+    pad = (-BG) % max(rs)
 
     emb_s = compute_emb_s_stacked(
         w, t,
@@ -497,11 +507,11 @@ def stacked_denoiser_pallas_apply(
     dim0 = w["init_W"].shape[1] // L
     cins = [dim0] + list(dims.block_channels[:-1])
     if fuse_stages:
-        X = _run_full(w, X, emb_s, dims, cins, R, interpret)
+        X = _run_full(w, X, emb_s, dims, cins, rs[-1], interpret)
     else:
         for i in range(len(dims.block_channels)):
-            X = _run_stage(w, X, emb_s, dims, i, False, R, interpret)
-        X = _run_stage(w, X, emb_s, dims, 0, True, R, interpret)
+            X = _run_stage(w, X, emb_s, dims, i, False, rs[i], interpret)
+        X = _run_stage(w, X, emb_s, dims, 0, True, rs[-1], interpret)
     if pad:
         X = X[:BG]
     return X[:, None, :].astype(in_dtype)
