@@ -208,3 +208,78 @@ class TestClassifierStep:
         m = binary_classification_metrics(preds, targets)
         for k in ("accuracy", "precision", "recall", "f1", "auprc"):
             assert float(m[k]) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestConfigDrivenLosses:
+    def test_build_losses_from_registry_blocks(self):
+        """VAELossConfig.loss_cfgs resolves registry blocks (the reference's
+        losses/builder.py convention) and overrides the scalar defaults."""
+        from graspldm_tpu.losses import (
+            GraspControlPointsReconstructionLoss,
+            GraspReconstructionLoss,
+            VAELatentLoss,
+        )
+
+        cfg = VAELossConfig(
+            loss_cfgs=dict(
+                reconstruction_loss=dict(
+                    type="GraspControlPointsReconstructionLoss",
+                    args=dict(weight=2.0),
+                ),
+                latent_loss=dict(
+                    type="VAELatentLoss", args=dict(weight=0.5)
+                ),
+            )
+        )
+        recon, kl, cls_loss, qual_loss = cfg.build_losses()
+        assert isinstance(recon, GraspControlPointsReconstructionLoss)
+        assert recon.weight == 2.0
+        assert isinstance(kl, VAELatentLoss) and kl.weight == 0.5
+        # explicit loss block omits classification/quality -> disabled
+        assert cls_loss is None and qual_loss is None
+
+        # defaults without loss_cfgs
+        recon_d, _, cls_d, _ = VAELossConfig().build_losses()
+        assert isinstance(recon_d, GraspReconstructionLoss)
+        assert cls_d is not None
+
+    def test_vae_step_with_control_points_loss(self, tiny_setup):
+        """A train step whose reconstruction loss is the gripper
+        control-points MSE, selected from config blocks with per-object
+        grasp stats riding in the batch (VERDICT round-1 item 7)."""
+        cfg, vae, ddm, diffusion, tx, batch, rng = tiny_setup
+        loss_cfg = VAELossConfig(
+            loss_cfgs=dict(
+                reconstruction_loss=dict(
+                    type="GraspControlPointsReconstructionLoss",
+                    args=dict(weight=1.0),
+                ),
+                latent_loss=dict(
+                    type="VAELatentLoss", args=dict(weight=0.01)
+                ),
+            )
+        )
+        B = batch["pc"].shape[0]
+        cp_batch = dict(
+            batch,
+            grasp_mean=jnp.tile(
+                jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, 0.0]]), (B, 1)
+            ),
+            grasp_std=jnp.tile(
+                jnp.asarray([[0.05, 0.05, 0.05, 0.5, 0.5, 0.5]]), (B, 1)
+            ),
+        )
+        state = init_train_state(
+            vae, tx, rng,
+            (batch["pc"], batch["grasps"].reshape(-1, 7)), {"rng": rng},
+        )
+        step = jax.jit(make_vae_train_step(vae, tx, loss_cfg, ema_cfg=None))
+        new_state, metrics = step(state, cp_batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert "classification_loss" not in metrics  # omitted by the block
+        # params actually moved under the control-points objective
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.params, new_state.params,
+        )
+        assert max(jax.tree.leaves(moved)) > 0.0
