@@ -1,4 +1,5 @@
 from .pipeline import decode_and_postprocess, ldm_generate, vae_generate
+from .sharded import make_sharded_ldm_generate, make_sharded_vae_generate
 from .runner import (
     AcronymGroundTruthModel,
     ExperimentPaths,
@@ -11,6 +12,8 @@ __all__ = [
     "decode_and_postprocess",
     "ldm_generate",
     "vae_generate",
+    "make_sharded_ldm_generate",
+    "make_sharded_vae_generate",
     "AcronymGroundTruthModel",
     "ExperimentPaths",
     "InferenceBase",

@@ -1,0 +1,110 @@
+"""Sharded (multi-chip) generation on the virtual 8-device CPU mesh.
+
+The contract: :func:`make_sharded_ldm_generate` over a ``data`` axis of size
+n produces EXACTLY the grasps of n independent per-chip
+:func:`ldm_generate` calls on the B/n-object shards with
+``fold_in(key, shard_index)`` — no collectives, no cross-chip coupling
+(SURVEY.md §2.3: generation scales by sharding the B*G axis).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graspldm_tpu.flagship import FlagshipConfig, build_flagship
+from graspldm_tpu.inference import (
+    ldm_generate,
+    make_sharded_ldm_generate,
+    make_sharded_vae_generate,
+    vae_generate,
+)
+from graspldm_tpu.parallel import make_mesh
+
+TINY = FlagshipConfig(
+    pc_num_points=32,
+    pc_latent_size=8,
+    pc_latent_channels=3,
+    grasp_latent_size=4,
+    block_channels=(8, 16),
+    resnet_block_groups=4,
+    dropout=None,
+    pc_scale_channels=0.25,
+    pc_scale_voxel_resolution=0.25,
+    diffusion_timesteps=50,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices (JAX_PLATFORMS=cpu + "
+                    "xla_force_host_platform_device_count=8)")
+    return make_mesh(devices=jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def models():
+    vae, ddm, diffusion = build_flagship(TINY)
+    rng = jax.random.PRNGKey(0)
+    B, N, G = 8, 32, 2
+    pc = jax.random.normal(rng, (B, N, 3))
+    grasps = jax.random.normal(rng, (B * 2, 7))
+    vae_vars = vae.init({"params": rng, "dropout": rng}, pc, grasps)
+    x = jnp.zeros((2, 1, TINY.grasp_latent_size))
+    t = jnp.zeros((2,), jnp.int32)
+    zc = jnp.zeros((2, TINY.pc_latent_channels, TINY.pc_latent_size))
+    ddm_vars = ddm.init({"params": rng, "dropout": rng}, x, t, zc)
+    return vae, ddm, diffusion, vae_vars, ddm_vars, pc, G
+
+
+def test_sharded_ldm_matches_per_shard_runs(mesh, models):
+    vae, ddm, diffusion, vae_vars, ddm_vars, pc, G = models
+    key = jax.random.PRNGKey(42)
+    n = mesh.shape["data"]
+
+    run = make_sharded_ldm_generate(
+        mesh, vae, ddm, diffusion, num_grasps=G, num_inference_steps=5,
+        sampler="ddim", denoiser_impl="flax",
+    )
+    out = run(vae_vars, ddm_vars, pc, key)
+    assert out["grasps"].shape == (pc.shape[0], G, 4, 4)
+    assert out["grasps"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+    # per-chip reference: shard i runs unsharded with fold_in(key, i)
+    shard = pc.shape[0] // n
+    for i in (0, 3, 7):
+        want = ldm_generate(
+            vae, vae_vars, ddm, ddm_vars, diffusion,
+            pc[i * shard : (i + 1) * shard], G,
+            jax.random.fold_in(key, i),
+            num_inference_steps=5, sampler="ddim", denoiser_impl="flax",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["grasps"][i * shard : (i + 1) * shard]),
+            np.asarray(want["grasps"]),
+            atol=2e-5, rtol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["confidence"][i * shard : (i + 1) * shard]),
+            np.asarray(want["confidence"]),
+            atol=2e-5, rtol=2e-5,
+        )
+
+
+def test_sharded_vae_matches_per_shard_runs(mesh, models):
+    vae, _, _, vae_vars, _, pc, G = models
+    key = jax.random.PRNGKey(7)
+    n = mesh.shape["data"]
+    run = make_sharded_vae_generate(mesh, vae, num_grasps=G)
+    out = run(vae_vars, pc, key)
+    assert out["grasps"].shape == (pc.shape[0], G, 4, 4)
+
+    shard = pc.shape[0] // n
+    want = vae_generate(
+        vae, vae_vars, pc[:shard], G, jax.random.fold_in(key, 0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["grasps"][:shard]), np.asarray(want["grasps"]),
+        atol=2e-5, rtol=2e-5,
+    )
