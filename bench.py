@@ -109,10 +109,38 @@ def main():
     jax.block_until_ready(out_v["grasps"])
     vae_samples_per_sec = B * G * iters / (time.perf_counter() - t0)
 
+    # Optional: time the multi-chip shard_map program on the local mesh
+    # (1 chip here) — the same program that scales over a v5e-8 data axis,
+    # validated for exact per-shard parity on the virtual 8-CPU mesh
+    # (tests/test_sharded_generation.py). Costs a second full compile
+    # (~8 min), so it is opt-in: GRASPLDM_BENCH_SHARDED=1.
+    sharded_gps = None
+    if os.environ.get("GRASPLDM_BENCH_SHARDED") == "1":
+        from graspldm_tpu.inference import make_sharded_ldm_generate
+        from graspldm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(devices=jax.devices())
+        sharded = make_sharded_ldm_generate(
+            mesh, vae, ddm, diffusion, num_grasps=G,
+            num_inference_steps=STEPS, sampler="ddim",
+        )
+        out_s = sharded(vae_vars, ddm_vars, pc, rng)
+        jax.block_until_ready(out_s["grasps"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out_s = sharded(vae_vars, ddm_vars, pc, jax.random.PRNGKey(i))
+            jax.block_until_ready(out_s["grasps"])
+        sharded_gps = round(B * G * iters / (time.perf_counter() - t0), 1)
+
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(
             {
                 "grasps_per_sec_per_chip_100_ddim_steps": round(grasps_per_sec, 1),
+                "sharded_program_grasps_per_sec_local_mesh": sharded_gps,
+                "n_local_devices": jax.device_count(),
+                "v5e8_extrapolated_grasps_per_sec_collective_free": round(
+                    grasps_per_sec * 8, 1
+                ),
                 "vae_samples_per_sec": round(vae_samples_per_sec, 1),
                 "p50_latency_per_object_ms_amortized": round(
                     p50_ms_per_object_amortized, 2

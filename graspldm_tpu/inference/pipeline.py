@@ -75,7 +75,7 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
     qualifies = (
         not cond_kwargs
         and isinstance(ddm, GraspLatentDDM)
-        and ddm.latent_in_features == 4
+        and ddm.latent_in_features in (4, 16)
         and not ddm.learned_variance
         and ddm.random_fourier_features
     )
@@ -88,7 +88,7 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
     if impl in ("pallas", "stacked") and not qualifies:
         raise ValueError(
             f"denoiser_impl={impl!r} supports only the unconditional "
-            "flagship GraspLatentDDM (4-dim latent, random Fourier time "
+            "flagship GraspLatentDDM (z4/z16 latent, random Fourier time "
             "embedding)"
         )
 
@@ -230,7 +230,7 @@ def ldm_generate(
     ``denoiser_impl`` selects the denoiser hot path:
       * "pallas"  — per-stage fused TPU kernels (activations in VMEM;
                     ~2.6x faster per step than the flax lowering at
-                    BG=8192 bf16), unconditional flagship dims only;
+                    BG=8192 bf16), unconditional fpc-z4 / ppc-z16 dims;
       * "stacked" — banded-matmul XLA formulation (~1.7x);
       * "flax"    — the plain module apply;
       * "auto"    — "pallas" on TPU when the model qualifies, else "flax".

@@ -83,6 +83,9 @@ def make_sharded_ldm_generate(
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P()),
             out_specs=_out_specs_for(out_tree, axis),
+            # the per-chip body may launch Pallas kernels, whose out_shapes
+            # carry no varying-mesh-axes metadata — skip the vma check
+            check_vma=False,
         )
         return jax.jit(mapped)
 
@@ -138,6 +141,7 @@ def make_sharded_vae_generate(
                     mesh=mesh,
                     in_specs=(P(), P(axis), P()),
                     out_specs=_out_specs_for(out_tree, axis),
+                    check_vma=False,
                 )
             )
         repl = NamedSharding(mesh, P())

@@ -7,13 +7,34 @@ These kernels run one NETWORK STAGE (resblock x2 + linear attention + proj,
 or the final resblock + head) per launch with activations resident in VMEM,
 so per-stage HBM traffic collapses to (X in + X out + weights).
 
+Measured performance map (v5e, BG=8192 bf16, R=512, 100-step access
+pattern; see tools/bench_pallas.py): full chain 1.50 ms/step against a
+0.73 ms matmul-only floor and 0.12 ms of XLA glue — the remaining ~0.65 ms
+is VPU norm/softmax/silu work that Mosaic schedules STRICTLY SERIAL with
+the MXU. Variants measured and rejected: naive L^2 score loop / "mloop" /
+"pairs" attention are all within noise of each other; fp32-resident
+activations +7%; row-split (2/4 independent sub-blocks for ILP) +3/+16%;
+block rows 1024/2048 compile >10 min; whole-net single launch a wash.
+The kernel math therefore minimizes instruction count and keeps the
+compute dtype end-to-end:
+
+  * GroupNorm / per-position LayerNorm statistics are one-hot-averaging
+    MATMULS (``X @ M_pool``), and the normalize+affine collapses to
+    ``x * (inv @ bcast_scaled) - (mu * inv) @ bcast_scaled + shift`` with the
+    per-channel affine gain pre-multiplied into the broadcast matrix at pack
+    time — no full-width fp32 intermediates.
+  * Linear attention batches the ``L x L`` score/broadcast pairs: one
+    pooling matmul per key position ("mloop", L launches of 2 matmuls)
+    or one for ALL pairs at ``L^2`` width ("pairs") instead of the naive
+    ``L^2`` per-pair loop (5x the instructions, measured slower).
+  * Activations stay in the COMPUTE dtype between ops (bf16 VPU ops are
+    measurably faster than fp32 here; an fp32-resident variant lost 7%);
+    fp32 appears only inside norm stats and softmax transcendentals.
+
 Mosaic-safety rules baked into the design (the round-1 mega-kernel hit
 20-50 min compiles and bf16 `logistic` miscompiles):
-  * NO reshapes and NO unaligned lane slicing inside the kernel. GroupNorm /
-    per-position LayerNorm statistics are computed with one-hot averaging
-    MATMULS (``X @ M_pool`` then ``mu @ M_bcast``), built at pack time.
-  * The only lane slicing is on ``[R, L*hd]`` attention tensors at
-    128-aligned position boundaries (hd = heads * dim_head = 128).
+  * NO reshapes inside the kernel; lane slicing only at block boundaries
+    that exist in the layout (attention ``[R, L*hd]`` slices at hd=128).
   * sigmoid/exp run in fp32 (bf16 transcendentals miscompile on Mosaic).
   * Each stage is a separate, small kernel -> tractable compile times.
 
@@ -37,7 +58,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_denoiser import DenoiserDims
+from .fused_denoiser import DenoiserDims, pack_denoiser_weights
 from .stacked_denoiser import (
     FLAGSHIP_DIMS,
     band_matrix,
@@ -47,6 +68,29 @@ from .stacked_denoiser import (
 )
 
 __all__ = ["pack_pallas_weights", "stacked_denoiser_pallas_apply"]
+
+# attention inner-product strategy: "mloop" (one pooling-matmul pair per key
+# position) or "pairs" (single L^2-wide batched pooling). Both are exact.
+ATTN_IMPL = "mloop"
+
+# rows-per-grid-step are processed in this many independent sub-blocks.
+# Intended to let Mosaic overlap sub-block A's MXU matmuls with sub-block
+# B's VPU work; MEASURED: the scheduler does not interleave (2 -> +3%,
+# 4 -> +16%), so the default stays 1. Kept for future-compiler experiments.
+ROW_SPLIT = 1
+
+
+def _use_sliced(L: int, Cin: int) -> bool:
+    """Static choice between dense block-banded matmuls and per-position
+    SLICED matmuls for convs/projections.
+
+    The banded [L*Cin, L*Cout] form wastes (L^2 - 3L + 2)/L^2 of its MXU
+    flops on structural zeros — 37% at L=4 (cheap, and one launch beats L
+    launches there) but 83% at L=16 (the partial-pc z16 flagship), where
+    the sliced form ``out_l = x_pad[l : l+k] @ W_taps`` does exact-FLOP
+    work with lane-aligned slices (Cin >= 128).
+    """
+    return L > 4 and Cin >= 128
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +124,7 @@ def _pos_pool_matrices(L: int, C: int):
 
 
 def _head_pool_matrices(L: int, H: int, D: int):
-    """q-softmax segment pooling: sum over d within each (l, h) 32-block of
+    """q-softmax segment pooling: sum over d within each (l, h) block of
     a [R, L*H*D] tensor, and its broadcast back."""
     hd = H * D
     pool = np.zeros((L * hd, L * H), np.float32)
@@ -99,6 +143,7 @@ def pack_pallas_weights(
 ) -> Dict:
     """Stacked weights + kernel aux matrices, cast for the TPU kernels."""
     w = pack_stacked_weights(variables, dims)
+    wraw = pack_denoiser_weights(variables, dims)  # raw conv taps
     L = dims.seq_len
     H, D = dims.heads, dims.dim_head
     out: Dict[str, jax.Array] = {}
@@ -113,6 +158,8 @@ def pack_pallas_weights(
     put("init_b", w["init_b"])
 
     def pack_resblock(prefix, C):
+        gn_pool, gn_bcast = _gn_pool_matrices(L, C, dims.groups)
+        sliced = _use_sliced(L, C)
         # FiLM mlp tiled to full width: ss_full [R, 2*L*C]
         mw, mb = w[f"{prefix}_mlp_w"], w[f"{prefix}_mlp_b"]
         put(f"{prefix}_mlpW",
@@ -121,12 +168,23 @@ def pack_pallas_weights(
         put(f"{prefix}_mlpb",
             jnp.concatenate([jnp.tile(mb[:C], L), jnp.tile(mb[C:], L)]))
         for blk in ("block1", "block2"):
-            put(f"{prefix}_{blk}_W", w[f"{prefix}_{blk}_W"])
+            if sliced:
+                taps = wraw[f"{prefix}_{blk}_w"]  # [k, Cin, Cout]
+                put(f"{prefix}_{blk}_W3",
+                    taps.reshape(-1, taps.shape[-1]))
+            else:
+                put(f"{prefix}_{blk}_W", w[f"{prefix}_{blk}_W"])
             put(f"{prefix}_{blk}_b", w[f"{prefix}_{blk}_b"])
-            put(f"{prefix}_{blk}_scale", w[f"{prefix}_{blk}_scale"])
+            # affine gain folded into the stat-broadcast matrix: the kernel
+            # computes x * (inv @ bcs) - (mu*inv) @ bcs + shift
+            put(f"{prefix}_{blk}_bcs",
+                gn_bcast * w[f"{prefix}_{blk}_scale"][None, :])
             put(f"{prefix}_{blk}_shift", w[f"{prefix}_{blk}_shift"])
         if f"{prefix}_res_W" in w:
-            put(f"{prefix}_res_W", w[f"{prefix}_res_W"])
+            if sliced:
+                put(f"{prefix}_res_Wc", wraw[f"{prefix}_res_w"])
+            else:
+                put(f"{prefix}_res_W", w[f"{prefix}_res_W"])
             put(f"{prefix}_res_b", w[f"{prefix}_res_b"])
 
     # within block i the resblocks + attention run at the INCOMING width;
@@ -138,34 +196,52 @@ def pack_pallas_weights(
     for i, C in enumerate(cins):
         pack_resblock(f"b{i}r1", C)
         pack_resblock(f"b{i}r2", C)
-        # attention: block-diagonal q/k/v [L*C, L*hd] + out [L*hd, L*C]
+        # attention: block-diagonal q/k/v [L*C, L*hd] + out [L*hd, L*C],
+        # or compact per-position [C, hd] when the block-diag waste (L x)
+        # is prohibitive
         qkv = w[f"b{i}_qkv_w"]  # [C, 3*hd]
         hd = H * D
-        put(f"b{i}_Wq", _block_diag(qkv[:, :hd], L))
-        put(f"b{i}_Wk", _block_diag(qkv[:, hd : 2 * hd], L))
-        put(f"b{i}_Wv", _block_diag(qkv[:, 2 * hd :], L))
-        put(f"b{i}_Wo", _block_diag(w[f"b{i}_attn_out_w"], L))
+        if _use_sliced(L, C):
+            put(f"b{i}_Wq_c", qkv[:, :hd])
+            put(f"b{i}_Wk_c", qkv[:, hd : 2 * hd])
+            put(f"b{i}_Wv_c", qkv[:, 2 * hd :])
+            put(f"b{i}_Wo_c", w[f"b{i}_attn_out_w"])
+        else:
+            put(f"b{i}_Wq", _block_diag(qkv[:, :hd], L))
+            put(f"b{i}_Wk", _block_diag(qkv[:, hd : 2 * hd], L))
+            put(f"b{i}_Wv", _block_diag(qkv[:, 2 * hd :], L))
+            put(f"b{i}_Wo", _block_diag(w[f"b{i}_attn_out_w"], L))
         put(f"b{i}_Wo_b", jnp.tile(w[f"b{i}_attn_out_b"], L))
-        put(f"b{i}_norm_g", jnp.tile(w[f"b{i}_attn_norm_g"], L))
-        put(f"b{i}_out_g", jnp.tile(w[f"b{i}_attn_out_g"], L))
-        put(f"b{i}_proj_W", w[f"b{i}_proj_W"])
+        # per-position LN gains folded into the broadcast matrices
+        _, pos_bcast = _pos_pool_matrices(L, C)
+        put(f"b{i}_normA",
+            pos_bcast * jnp.tile(w[f"b{i}_attn_norm_g"], L)[None, :])
+        put(f"b{i}_outA",
+            pos_bcast * jnp.tile(w[f"b{i}_attn_out_g"], L)[None, :])
+        if _use_sliced(L, C):
+            taps = wraw[f"b{i}_proj_w"]
+            put(f"b{i}_proj_W3", taps.reshape(-1, taps.shape[-1]))
+        else:
+            put(f"b{i}_proj_W", w[f"b{i}_proj_W"])
         put(f"b{i}_proj_b", w[f"b{i}_proj_b"])
     pack_resblock("final", chans[-1])
     put("final_W", w["final_W"])
     put("final_b", w["final_b"])
 
-    # aux one-hot matrices (kept fp32; tiny)
+    # aux one-hot matrices (pool stats fp32; broadcast sides that produce
+    # compute-dtype tensors are stored in the compute dtype)
     for C in sorted(set(cins + [chans[-1]])):
-        p, b = _gn_pool_matrices(L, C, dims.groups)
-        out[f"gnpool_{C}"], out[f"gnbcast_{C}"] = p, b
-        pp, pb = _pos_pool_matrices(L, C)
-        out[f"pospool_{C}"], out[f"posbcast_{C}"] = pp, pb
+        p, _ = _gn_pool_matrices(L, C, dims.groups)
+        out[f"gnpool_{C}"] = p
+        pp, _ = _pos_pool_matrices(L, C)
+        out[f"pospool_{C}"] = pp
     qp, qb = _head_pool_matrices(L, H, D)
     out["qpool"], out["qbcast"] = qp, qb
-    # per-head indicator matrices for the score sums, in compute dtype
-    hd = H * D
-    out["hpool"] = qp[:hd, :H].astype(dtype)
-    out["hbcast"] = qb[:H, :hd].astype(dtype)
+    put("qpool_c", qp)   # compute-dtype copies for the score path
+    put("qbcast_c", qb)
+    # L^2-pair pooling for the "pairs" attention strategy
+    put("qpool_p", _block_diag(qp, L))
+    put("qbcast_p", _block_diag(qb, L))
     return out
 
 
@@ -182,110 +258,172 @@ def _mmf(a, b):
     )
 
 
+def _mmd(a, b, dtype):
+    """Matmul cast to ``dtype`` (Mosaic requires a 32-bit accumulator, so
+    a post-matmul cast is the only way to land in the compute dtype).
+
+    Activations stay in the COMPUTE dtype between ops: bf16 VPU ops run
+    measurably faster than fp32 here (fp32-resident activations with
+    cast-at-matmul-input measured 1.61 vs 1.51 ms/step), so the compute
+    dtype is kept end-to-end and fp32 appears only inside stats/softmax.
+    """
+    return _mmf(a, b).astype(dtype)
+
+
 def _silu_f32(x):
     xf = x.astype(jnp.float32)
     return (xf * jax.nn.sigmoid(xf)).astype(x.dtype)
 
 
-def _group_norm_k(x, scale, shift, pool, bcast, eps=1e-5):
-    """GroupNorm via pooling matmuls. x [R, LC] bf16; stats fp32."""
+def _norm_apply_k(x, shift, pool, bcast_s, eps=1e-5):
+    """Normalize-with-folded-affine on ``x [R, LC]``.
+
+    Stats (mean/var over the pooling pattern) in fp32 via one-hot matmuls;
+    the full-width application runs in the compute dtype:
+    ``y = x * A - B (+ shift)`` with ``A = inv @ bcast_s`` and
+    ``B = (mu * inv) @ bcast_s`` (bcast_s carries the affine gain).
+    """
     xf = x.astype(jnp.float32)
-    mu = _mmf(xf, pool)          # [R, groups] (already averaged)
+    mu = _mmf(xf, pool)          # [R, groups|L] (already averaged)
     musq = _mmf(xf * xf, pool)
     var = jnp.maximum(musq - mu * mu, 0.0)
-    mu_f = _mmf(mu, bcast)       # [R, LC]
-    inv_f = _mmf(jax.lax.rsqrt(var + eps), bcast)
-    return ((xf - mu_f) * inv_f).astype(x.dtype) * scale + shift
+    inv = jax.lax.rsqrt(var + eps)
+    A = _mmd(inv.astype(bcast_s.dtype), bcast_s, x.dtype)
+    B = _mmd((mu * inv).astype(bcast_s.dtype), bcast_s, x.dtype)
+    y = x * A - B
+    return y + shift if shift is not None else y
 
 
-def _pos_ln_k(x, g, pool, bcast, eps=1e-5):
-    """Per-position channel LayerNorm via pooling matmuls."""
-    xf = x.astype(jnp.float32)
-    mu = _mmf(xf, pool)
-    musq = _mmf(xf * xf, pool)
-    var = jnp.maximum(musq - mu * mu, 0.0)
-    mu_f = _mmf(mu, bcast)
-    inv_f = _mmf(jax.lax.rsqrt(var + eps), bcast)
-    return ((xf - mu_f) * inv_f).astype(x.dtype) * g
+def _conv3_k(x, g, name, L, Cin, dtype):
+    """k-tap conv on stacked ``x [R, L*Cin]`` -> ``[R, L*Cout]``.
+
+    Dense block-banded matmul when ``{name}_W`` is packed; exact-FLOP
+    SLICED form (zero-pad + per-position [R, k*Cin] @ [k*Cin, Cout]) when
+    ``{name}_W3`` is packed (L > 4, lane-aligned Cin).
+    """
+    if f"{name}_W" in g:
+        return _mmd(x, g[f"{name}_W"], dtype) + g[f"{name}_b"]
+    W3 = g[f"{name}_W3"]
+    k = W3.shape[0] // Cin
+    half = k // 2
+    z = jnp.zeros((x.shape[0], half * Cin), x.dtype)
+    xp = jnp.concatenate([z, x, z], axis=-1)
+    out = jnp.concatenate(
+        [_mmf(xp[:, l * Cin : (l + k) * Cin], W3) for l in range(L)],
+        axis=-1,
+    )
+    return out.astype(dtype) + g[f"{name}_b"]
+
+
+def _dense_per_l_k(x, W, L, Cin, dtype=None):
+    """Per-position 1x1 projection: ``out_l = x_l @ W [Cin, Cout]``."""
+    out = jnp.concatenate(
+        [_mmf(x[:, l * Cin : (l + 1) * Cin], W) for l in range(L)], axis=-1
+    )
+    return out if dtype is None else out.astype(dtype)
 
 
 def _resblock_k(x, emb_s, g, prefix, L, C, cond_channels):
-    """One ResnetBlock on VMEM values. g = dict of weight values.
+    """One ResnetBlock on VMEM values. g = dict of weight values."""
+    ss = _mmd(emb_s, g[f"{prefix}_mlpW"], x.dtype) + g[f"{prefix}_mlpb"]
+    scale = ss[:, : L * C]
+    shift = ss[:, L * C :]
 
-    ``emb_s`` arrives in the compute dtype; the FiLM matmul accumulates
-    fp32 so the scale/shift stay fp32 through the modulation.
-    """
-    ss = _mmf(emb_s, g[f"{prefix}_mlpW"]) + g[f"{prefix}_mlpb"].astype(
-        jnp.float32
-    )  # [R, 2*L*C] fp32
-    scale_f = ss[:, : L * C]
-    shift_f = ss[:, L * C :]
-
-    h = _mmf(x, g[f"{prefix}_block1_W"]).astype(x.dtype) + g[f"{prefix}_block1_b"]
-    h = _group_norm_k(
-        h, g[f"{prefix}_block1_scale"], g[f"{prefix}_block1_shift"],
-        g[f"gnpool_{C}"], g[f"gnbcast_{C}"],
+    h = _conv3_k(x, g, f"{prefix}_block1", L, C, x.dtype)
+    h = _norm_apply_k(
+        h, g[f"{prefix}_block1_shift"], g[f"gnpool_{C}"],
+        g[f"{prefix}_block1_bcs"],
     )
-    h = (
-        h.astype(jnp.float32) * (scale_f + float(cond_channels)) + shift_f
-    ).astype(x.dtype)
+    h = h * (scale + jnp.asarray(float(cond_channels), x.dtype)) + shift
     h = _silu_f32(h)
-    h = _mmf(h, g[f"{prefix}_block2_W"]).astype(x.dtype) + g[f"{prefix}_block2_b"]
-    h = _group_norm_k(
-        h, g[f"{prefix}_block2_scale"], g[f"{prefix}_block2_shift"],
-        g[f"gnpool_{C}"], g[f"gnbcast_{C}"],
+    h = _conv3_k(h, g, f"{prefix}_block2", L, C, x.dtype)
+    h = _norm_apply_k(
+        h, g[f"{prefix}_block2_shift"], g[f"gnpool_{C}"],
+        g[f"{prefix}_block2_bcs"],
     )
     h = _silu_f32(h)
     if f"{prefix}_res_W" in g:
-        x = _mmf(x, g[f"{prefix}_res_W"]).astype(x.dtype) + g[f"{prefix}_res_b"]
+        x = _mmd(x, g[f"{prefix}_res_W"], x.dtype) + g[f"{prefix}_res_b"]
+    elif f"{prefix}_res_Wc" in g:
+        x = (
+            _dense_per_l_k(x, g[f"{prefix}_res_Wc"], L, C, x.dtype)
+            + g[f"{prefix}_res_b"]
+        )
     return h + x
 
 
-def _attention_k(x, g, i, L, C, H, D):
-    """Linear attention, (q k^T) v order, 128-aligned slicing only."""
-    hd = H * D
-    normed = _pos_ln_k(
-        x, g[f"b{i}_norm_g"], g[f"pospool_{C}"], g[f"posbcast_{C}"]
-    )
-    q = _mmf(normed, g[f"b{i}_Wq"])  # [R, L*hd] fp32
-    k = _mmf(normed, g[f"b{i}_Wk"])
-    v = _mmf(normed, g[f"b{i}_Wv"]).astype(x.dtype)
+def _tile_block(x, m, hd, L):
+    """[R, L*hd] -> the m-th hd block tiled L times (lane-aligned copies)."""
+    blk = x[:, m * hd : (m + 1) * hd]
+    return jnp.concatenate([blk] * L, axis=-1)
 
-    # q softmax over d within each (l, h) 32-block: global-row-max shift
+
+def _attention_k(x, g, i, L, C, H, D):
+    """Linear attention, (q k^T) v order, batched score pooling."""
+    hd = H * D
+    normed = _norm_apply_k(
+        x, None, g[f"pospool_{C}"], g[f"b{i}_normA"]
+    )
+    if f"b{i}_Wq_c" in g:
+        q = _dense_per_l_k(normed, g[f"b{i}_Wq_c"], L, C)
+        k = _dense_per_l_k(normed, g[f"b{i}_Wk_c"], L, C)
+        v = _dense_per_l_k(normed, g[f"b{i}_Wv_c"], L, C, x.dtype)
+    else:
+        q = _mmf(normed, g[f"b{i}_Wq"])  # [R, L*hd] fp32
+        k = _mmf(normed, g[f"b{i}_Wk"])
+        v = _mmd(normed, g[f"b{i}_Wv"], x.dtype)
+
+    # q softmax over d within each (l, h) block: global-row-max shift
     # (exact softmax; larger shift only costs underflow range)
     qmax = jnp.max(q, axis=-1, keepdims=True)
     qe = jnp.exp(q - qmax)
     qs = _mmf(_mmf(qe, g["qpool"]), g["qbcast"])
-    q = (qe / qs) * (float(D) ** -0.5)
+    qn = ((qe / qs) * (float(D) ** -0.5)).astype(x.dtype)
 
-    # k softmax over the L position blocks per (h, d)
-    ks = [k[:, l * hd : (l + 1) * hd] for l in range(L)]
-    kmax = functools.reduce(jnp.maximum, ks)
-    kes = [jnp.exp(kl - kmax) for kl in ks]
-    ksum = functools.reduce(jnp.add, kes)
-    ks = [(ke / ksum).astype(x.dtype) for ke in kes]
-
-    q = q.astype(x.dtype)
-    qs_l = [q[:, l * hd : (l + 1) * hd] for l in range(L)]
-    vs_m = [v[:, m * hd : (m + 1) * hd] for m in range(L)]
-
-    # scores s[l, m] per head: [R, H]; out_l = sum_m bcast(s) * v_m
-    hp = g["hpool"]   # [hd, H] 0/1 head indicator (compute dtype)
-    hb = g["hbcast"]  # [H, hd]
-    outs = []
-    for l in range(L):
-        acc = None
-        for m in range(L):
-            s = _mmf(qs_l[l] * ks[m], hp)                   # [R, H] fp32
-            sm = _mmf(s.astype(hb.dtype), hb).astype(x.dtype)  # [R, hd]
-            term = sm * vs_m[m]
-            acc = term if acc is None else acc + term
-        outs.append(acc)
-    out = jnp.concatenate(outs, axis=-1)  # [R, L*hd]
-    out = _mmf(out, g[f"b{i}_Wo"]).astype(x.dtype) + g[f"b{i}_Wo_b"]
-    out = _pos_ln_k(
-        out, g[f"b{i}_out_g"], g[f"pospool_{C}"], g[f"posbcast_{C}"]
+    # k softmax over the L position blocks per (h, d), batched full-width
+    kblks = [k[:, m * hd : (m + 1) * hd] for m in range(L)]
+    kmax = functools.reduce(jnp.maximum, kblks)
+    ke = jnp.exp(k - jnp.concatenate([kmax] * L, axis=-1))
+    ksum = functools.reduce(
+        jnp.add, [ke[:, m * hd : (m + 1) * hd] for m in range(L)]
     )
+    kn = (ke / jnp.concatenate([ksum] * L, axis=-1)).astype(x.dtype)
+
+    # scores s[l, m] per head = sum_d q_l * k_m; out_l = sum_m bcast(s) v_m
+    if ATTN_IMPL == "pairs":
+        # one batched pooling over all L^2 (l, m) pairs, m-major layout
+        qt = jnp.concatenate([qn] * L, axis=-1)              # [R, L^2*hd]
+        kt = jnp.concatenate(
+            [_tile_block(kn, m, hd, L) for m in range(L)], axis=-1
+        )
+        vt = jnp.concatenate(
+            [_tile_block(v, m, hd, L) for m in range(L)], axis=-1
+        )
+        s = _mmd(qt * kt, g["qpool_p"], x.dtype)             # [R, L^2*H]
+        sb = _mmd(s, g["qbcast_p"], x.dtype)
+        terms = sb * vt
+        w = L * hd
+        out = functools.reduce(
+            jnp.add, [terms[:, m * w : (m + 1) * w] for m in range(L)]
+        )
+    else:  # "mloop": one pooling-matmul pair per key position m
+        out = None
+        for m in range(L):
+            km = _tile_block(kn, m, hd, L)                   # [R, L*hd]
+            s = _mmd(qn * km, g["qpool_c"], x.dtype)         # [R, L*H]
+            sb = _mmd(s, g["qbcast_c"], x.dtype)             # [R, L*hd]
+            term = sb * _tile_block(v, m, hd, L)
+            out = term if out is None else out + term
+
+    hd_ = H * D
+    if f"b{i}_Wo_c" in g:
+        out = (
+            _dense_per_l_k(out, g[f"b{i}_Wo_c"], L, hd_, x.dtype)
+            + g[f"b{i}_Wo_b"]
+        )
+    else:
+        out = _mmd(out, g[f"b{i}_Wo"], x.dtype) + g[f"b{i}_Wo_b"]
+    out = _norm_apply_k(out, None, g[f"pospool_{C}"], g[f"b{i}_outA"])
     return x + out
 
 
@@ -306,10 +444,10 @@ def _full_kernel(names, dims, cins, *refs):
         x = _resblock_k(x, emb, g, f"b{i}r1", L, C, dims.cond_channels)
         x = _resblock_k(x, emb, g, f"b{i}r2", L, C, dims.cond_channels)
         x = _attention_k(x, g, i, L, C, dims.heads, dims.dim_head)
-        x = _mmf(x, g[f"b{i}_proj_W"]).astype(x.dtype) + g[f"b{i}_proj_b"]
+        x = _conv3_k(x, g, f"b{i}_proj", L, C, x.dtype)
     x = _resblock_k(x, emb, g, "final", L, dims.block_channels[-1],
                     dims.cond_channels)
-    out_ref[...] = _mmf(x, g["final_W"]).astype(x.dtype) + g["final_b"]
+    out_ref[...] = _mmd(x, g["final_W"], x.dtype) + g["final_b"]
 
 
 def _run_full(w, x, emb_s, dims, cins, block_rows, interpret):
@@ -352,18 +490,34 @@ def _run_full(w, x, emb_s, dims, cins, block_rows, interpret):
     )(x, emb_s, *arrays)
 
 
+def _row_parts(x_ref, emb_ref):
+    """Split the block's rows into ROW_SPLIT independent sub-blocks."""
+    x = x_ref[...]
+    emb = emb_ref[...]
+    n = ROW_SPLIT
+    R = x.shape[0]
+    if n == 1 or R % n:
+        return [(x, emb, slice(None))]
+    r = R // n
+    return [
+        (x[j * r : (j + 1) * r], emb[j * r : (j + 1) * r],
+         slice(j * r, (j + 1) * r))
+        for j in range(n)
+    ]
+
+
 def _stage_kernel(names, dims, stage_i, C, *refs):
     x_ref, emb_ref = refs[0], refs[1]
     out_ref = refs[-1]
     g = {n: r[...] for n, r in zip(names, refs[2:-1])}
     L = dims.seq_len
-    x = x_ref[...]
-    emb = emb_ref[...]
-    x = _resblock_k(x, emb, g, f"b{stage_i}r1", L, C, dims.cond_channels)
-    x = _resblock_k(x, emb, g, f"b{stage_i}r2", L, C, dims.cond_channels)
-    x = _attention_k(x, g, stage_i, L, C, dims.heads, dims.dim_head)
-    x = _mmf(x, g[f"b{stage_i}_proj_W"]).astype(x.dtype) + g[f"b{stage_i}_proj_b"]
-    out_ref[...] = x
+    for x, emb, rows in _row_parts(x_ref, emb_ref):
+        x = _resblock_k(x, emb, g, f"b{stage_i}r1", L, C,
+                        dims.cond_channels)
+        x = _resblock_k(x, emb, g, f"b{stage_i}r2", L, C,
+                        dims.cond_channels)
+        x = _attention_k(x, g, stage_i, L, C, dims.heads, dims.dim_head)
+        out_ref[rows, :] = _conv3_k(x, g, f"b{stage_i}_proj", L, C, x.dtype)
 
 
 def _final_kernel(names, dims, C, *refs):
@@ -371,12 +525,9 @@ def _final_kernel(names, dims, C, *refs):
     out_ref = refs[-1]
     g = {n: r[...] for n, r in zip(names, refs[2:-1])}
     L = dims.seq_len
-    x = x_ref[...]
-    emb = emb_ref[...]
-    x = _resblock_k(x, emb, g, "final", L, C, dims.cond_channels)
-    out_ref[...] = (
-        _mmf(x, g["final_W"]).astype(x.dtype) + g["final_b"]
-    )
+    for x, emb, rows in _row_parts(x_ref, emb_ref):
+        x = _resblock_k(x, emb, g, "final", L, C, dims.cond_channels)
+        out_ref[rows, :] = _mmd(x, g["final_W"], x.dtype) + g["final_b"]
 
 
 def _stage_weight_names(w, stage_i, dims, C, final=False):
@@ -385,22 +536,36 @@ def _stage_weight_names(w, stage_i, dims, C, final=False):
     for p in prefixes:
         names += [f"{p}_mlpW", f"{p}_mlpb"]
         for blk in ("block1", "block2"):
-            names += [f"{p}_{blk}_W", f"{p}_{blk}_b",
-                      f"{p}_{blk}_scale", f"{p}_{blk}_shift"]
+            wkey = (
+                f"{p}_{blk}_W" if f"{p}_{blk}_W" in w else f"{p}_{blk}_W3"
+            )
+            names += [wkey, f"{p}_{blk}_b",
+                      f"{p}_{blk}_bcs", f"{p}_{blk}_shift"]
         if f"{p}_res_W" in w:
             names += [f"{p}_res_W", f"{p}_res_b"]
-    names += [f"gnpool_{C}", f"gnbcast_{C}"]
+        elif f"{p}_res_Wc" in w:
+            names += [f"{p}_res_Wc", f"{p}_res_b"]
+    names += [f"gnpool_{C}"]
     if final:
         names += ["final_W", "final_b"]
     else:
+        suff = "_c" if f"b{stage_i}_Wq_c" in w else ""
+        projk = (
+            f"b{stage_i}_proj_W" if f"b{stage_i}_proj_W" in w
+            else f"b{stage_i}_proj_W3"
+        )
         names += [
-            f"b{stage_i}_Wq", f"b{stage_i}_Wk", f"b{stage_i}_Wv",
-            f"b{stage_i}_Wo", f"b{stage_i}_Wo_b",
-            f"b{stage_i}_norm_g", f"b{stage_i}_out_g",
-            f"pospool_{C}", f"posbcast_{C}", "qpool", "qbcast",
-            "hpool", "hbcast",
-            f"b{stage_i}_proj_W", f"b{stage_i}_proj_b",
+            f"b{stage_i}_Wq{suff}", f"b{stage_i}_Wk{suff}",
+            f"b{stage_i}_Wv{suff}",
+            f"b{stage_i}_Wo{suff}", f"b{stage_i}_Wo_b",
+            f"b{stage_i}_normA", f"b{stage_i}_outA",
+            f"pospool_{C}", "qpool", "qbcast",
+            projk, f"b{stage_i}_proj_b",
         ]
+        if ATTN_IMPL == "pairs":
+            names += ["qpool_p", "qbcast_p"]
+        else:
+            names += ["qpool_c", "qbcast_c"]
     return names
 
 
@@ -477,12 +642,13 @@ def stacked_denoiser_pallas_apply(
     dtype = w["init_W"].dtype
     L = dims.seq_len
     BG = x.shape[0]
-    # Per-stage timing at BG=8192/R=512: stage0 (width 16) ~0.30 ms,
-    # stage1 ~0.31, stage2 ~0.41, stage3 ~0.70, final ~0.54 — the NARROW
-    # stages are bounded by per-op issue latency, not FLOPs or chunk count
-    # (giving them 8x larger row blocks measured WORSE: 1.67 vs 1.58
-    # ms/step). A uniform R is the best-known configuration; per-stage
-    # block sizes are accepted for experiments.
+    # Per-stage timing at BG=8192/R=512 (dummy-chain harness, includes
+    # ~0.07 ms harness overhead each): stage0 0.23 / stage1 0.23 /
+    # stage2 0.32 / stage3 0.62 / final 0.46 ms; matmul-only floors
+    # 0.12 / 0.12 / 0.18 / 0.37 / 0.30. Narrow stages are bounded by
+    # per-op issue latency, not FLOPs or chunk count; a uniform R is the
+    # best-known configuration (R=1024/2048 compile >10 min and measured
+    # worse historically); per-stage block sizes accepted for experiments.
     if isinstance(block_rows, int):
         rs = [block_rows] * (len(dims.block_channels) + 1)
     else:

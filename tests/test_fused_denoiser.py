@@ -94,3 +94,36 @@ def test_stacked_pallas_interpret_parity():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=5e-4)
+
+
+def test_stacked_pallas_z16_ppc_parity():
+    """Generic-L Pallas kernels (sliced convs + per-position projections,
+    interpret mode) match the flax module at the partial-pc z16 dims."""
+    from graspldm_tpu.models.fused_denoiser import DenoiserDims
+    from graspldm_tpu.models.stacked_pallas import (
+        pack_pallas_weights,
+        stacked_denoiser_pallas_apply,
+    )
+
+    ddm = GraspLatentDDM(
+        dropout=None, latent_in_features=16, pc_latent_size=256
+    )
+    dims = DenoiserDims(
+        seq_len=16, block_channels=(32, 64, 128, 256), groups=4,
+        emb_dim=64, cond_channels=3, cond_dim=256, fourier_dim=16,
+    )
+    key = jax.random.PRNGKey(16)
+    BG = 16
+    x = jax.random.normal(key, (BG, 1, 16))
+    t = (jnp.arange(BG, dtype=jnp.int32) * 91) % 1000
+    zc = jax.random.normal(jax.random.PRNGKey(17), (BG, 3, 256))
+    variables = ddm.init({"params": key}, x, t, zc)
+    want = np.asarray(ddm.apply(variables, x, t, zc))
+
+    w = pack_pallas_weights(variables, dims, dtype=jnp.float32)
+    got = np.asarray(
+        stacked_denoiser_pallas_apply(
+            w, x, t, zc, dims, block_rows=8, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=5e-4)
