@@ -284,4 +284,18 @@ def ldm_generate(
     )
     if return_trajectory:
         result["latent_trajectory"] = traj
+        # decode <= 50 evenly spaced intermediate latents to grasp poses —
+        # the reference's "all_diffusion_grasps" visualization output
+        # (`tools/inference.py:630-643`, `grasp_ldm.py:214-233`)
+        S = traj.shape[0]
+        idx = jnp.linspace(0, S - 1, num=min(50, S)).astype(jnp.int32)
+
+        def _decode_step(z):
+            return decode_and_postprocess(
+                vae, vae_variables, z[:, 0, :], z_pc_rep, num_grasps, meta
+            )["grasps"]
+
+        result["all_diffusion_grasps"] = jax.lax.map(
+            _decode_step, traj[idx]
+        )  # [S', B, G, 4, 4]
     return result

@@ -307,6 +307,7 @@ class InferenceLDM(InferenceBase):
         cls_cond=None,
         region_id=None,
         item_metas=None,
+        return_trajectory=False,
         **kwargs,
     ):
         cls_cond, region_points = self._resolve_conditioning(
@@ -326,5 +327,6 @@ class InferenceLDM(InferenceBase):
             meta=meta,
             cls_cond=cls_cond,
             region_points=region_points,
+            return_trajectory=return_trajectory,
         )
         return {k: np.asarray(v) for k, v in out.items()}

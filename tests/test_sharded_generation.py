@@ -108,3 +108,23 @@ def test_sharded_vae_matches_per_shard_runs(mesh, models):
         np.asarray(out["grasps"][:shard]), np.asarray(want["grasps"]),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_trajectory_decode(models):
+    """`return_trajectory` yields the reference's all_diffusion_grasps:
+    <=50 intermediate diffusion states decoded to [S', B, G, 4, 4] poses
+    (`tools/inference.py:630-643`)."""
+    vae, ddm, diffusion, vae_vars, ddm_vars, pc, G = models
+    out = ldm_generate(
+        vae, vae_vars, ddm, ddm_vars, diffusion, pc[:2], G,
+        jax.random.PRNGKey(3), num_inference_steps=5, sampler="ddim",
+        return_trajectory=True, denoiser_impl="flax",
+    )
+    traj = np.asarray(out["all_diffusion_grasps"])
+    # 5 steps -> 6 states (x_T included), all under the 50-state cap
+    assert traj.shape == (6, 2, G, 4, 4)
+    assert np.isfinite(traj).all()
+    # the final trajectory entry is the returned grasp set
+    np.testing.assert_allclose(
+        traj[-1], np.asarray(out["grasps"]), atol=1e-5
+    )

@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--no_ema", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_npz", default=None)
+    p.add_argument(
+        "--return_trajectory", action="store_true",
+        help="LDM mode: also decode <=50 intermediate diffusion steps to "
+        "grasp poses (the reference's all_diffusion_grasps output)",
+    )
     p.add_argument("--visualize", action="store_true")
     p.add_argument(
         "--conditioning",
@@ -68,6 +73,8 @@ def main():
     )
 
     infer_kwargs = {}
+    if args.return_trajectory and args.mode == "LDM":
+        infer_kwargs["return_trajectory"] = True
     if args.conditioning == "class":
         # scalar class label per grasp (metas["mode_cls"] semantics,
         # reference `tools/inference.py:330-364`)
