@@ -32,7 +32,16 @@ def main():
         if os.environ.get("GRASPLDM_BENCH_DTYPE", "bf16") == "bf16"
         else None
     )
-    vae, ddm, diffusion = build_flagship(FlagshipConfig(denoiser_dtype=dtype))
+    # GRASPLDM_BENCH_CONFIG=ppc benches the partial-pc flagship dims
+    # (z16 / pc256, the second shipped experiment) instead of fpc z4/pc64.
+    variant = os.environ.get("GRASPLDM_BENCH_CONFIG", "fpc")
+    cfg_kw = dict(denoiser_dtype=dtype)
+    if variant == "ppc":
+        cfg_kw.update(
+            pc_latent_size=256, grasp_latent_size=16, pc_latent_channels=3
+        )
+    cfg = FlagshipConfig(**cfg_kw)
+    vae, ddm, diffusion = build_flagship(cfg)
 
     # B=32 measured optimal on v5e (43k+ grasps/s vs 37k at B=8: encode
     # amortization + fuller kernel grids at BG=32768)
@@ -45,9 +54,9 @@ def main():
     grasps = jax.random.normal(rng, (B * 2, 7))
 
     vae_vars = jit_init(vae, {"params": rng, "dropout": rng}, pc, grasps)
-    x = jnp.zeros((2, 1, 4))
+    x = jnp.zeros((2, 1, cfg.grasp_latent_size))
     t = jnp.zeros((2,), jnp.int32)
-    zc = jnp.zeros((2, 3, 64))
+    zc = jnp.zeros((2, cfg.pc_latent_channels, cfg.pc_latent_size))
     ddm_vars = jit_init(ddm, {"params": rng, "dropout": rng}, x, t, zc)
 
     @jax.jit
@@ -132,7 +141,10 @@ def main():
             jax.block_until_ready(out_s["grasps"])
         sharded_gps = round(B * G * iters / (time.perf_counter() - t0), 1)
 
-    with open("BENCH_DETAILS.json", "w") as f:
+    details_path = (
+        "BENCH_DETAILS.json" if variant == "fpc" else f"BENCH_{variant.upper()}.json"
+    )
+    with open(details_path, "w") as f:
         json.dump(
             {
                 "grasps_per_sec_per_chip_100_ddim_steps": round(grasps_per_sec, 1),
@@ -149,6 +161,7 @@ def main():
                 "B": B,
                 "G": G,
                 "steps": STEPS,
+                "variant": variant,
                 "denoiser_dtype": str(dtype),
             },
             f,

@@ -70,13 +70,30 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
     ``z_cond`` (when known up front) lets the kernel paths hoist the
     step-invariant conditioning embedding out of the sampler scan.
     """
+    from ..models.conditioning import (
+        ClassConditionedGraspLatentDDM,
+        RegionConditionedGraspLatentDDM,
+    )
     from ..models.grasp_ldm import GraspLatentDDM
 
+    # class/region conditioning is a STEP-INVARIANT additive embedding, so
+    # the kernel paths support it by folding it into the hoisted input
+    # embedding (see stacked_denoiser.compute_extra_emb)
+    cond_ok = (
+        (not cond_kwargs and isinstance(ddm, GraspLatentDDM))
+        or (
+            set(cond_kwargs) == {"cls_cond"}
+            and isinstance(ddm, ClassConditionedGraspLatentDDM)
+        )
+        or (
+            set(cond_kwargs) == {"region_points"}
+            and isinstance(ddm, RegionConditionedGraspLatentDDM)
+        )
+    )
     qualifies = (
-        not cond_kwargs
-        and isinstance(ddm, GraspLatentDDM)
+        cond_ok
         and ddm.latent_in_features in (4, 16)
-        and not ddm.learned_variance
+        and not getattr(ddm, "learned_variance", False)
         and ddm.random_fourier_features
     )
     if impl == "auto":
@@ -87,9 +104,10 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
         )
     if impl in ("pallas", "stacked") and not qualifies:
         raise ValueError(
-            f"denoiser_impl={impl!r} supports only the unconditional "
-            "flagship GraspLatentDDM (z4/z16 latent, random Fourier time "
-            "embedding)"
+            f"denoiser_impl={impl!r} supports GraspLatentDDM (z4/z16, "
+            "random Fourier time embedding), ClassConditionedGraspLatentDDM "
+            "with cls_cond, or RegionConditionedGraspLatentDDM with "
+            "region_points"
         )
 
     if impl == "pallas":
@@ -111,27 +129,37 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
         # compute precision follows the model's declared compute dtype
         # (FlagshipConfig.denoiser_dtype), not silently bf16
         dtype = (
-            jnp.bfloat16 if ddm.dtype == jnp.bfloat16 else jnp.float32
+            jnp.bfloat16
+            if getattr(ddm, "dtype", None) == jnp.bfloat16
+            else jnp.float32
         )
         w = pack_pallas_weights(ddm_variables, dims, dtype=dtype)
 
-        from ..models.stacked_denoiser import compute_input_emb
+        from ..models.stacked_denoiser import (
+            compute_extra_emb,
+            compute_input_emb,
+        )
 
-        # the conditioning embedding is constant across sampler steps:
-        # computing it HERE (outside the sampler's lax.scan) means the scan
-        # body only fuses the tiny per-step time embedding
+        # both the pc-conditioning and the class/region embeddings are
+        # constant across sampler steps: computing them HERE (outside the
+        # sampler's lax.scan) means the scan body only fuses the tiny
+        # per-step time embedding
+        extra_emb = compute_extra_emb(w, **cond_kwargs)
         input_emb = (
             compute_input_emb(w, z_cond.astype(jnp.float32))
             if z_cond is not None
             else None
         )
+        if input_emb is not None and extra_emb is not None:
+            input_emb = input_emb + extra_emb[:, None, :]
 
         def denoise(x, t, z):
-            ie = (
-                input_emb
-                if input_emb is not None
-                else compute_input_emb(w, z.astype(jnp.float32))
-            )
+            if input_emb is not None:
+                ie = input_emb
+            else:
+                ie = compute_input_emb(w, z.astype(jnp.float32))
+                if extra_emb is not None:
+                    ie = ie + extra_emb[:, None, :]
             out = stacked_denoiser_pallas_apply(
                 w, x, t, z, dims, input_emb=ie
             )
@@ -155,13 +183,22 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
             cond_dim=ddm.pc_latent_size,
             fourier_dim=ddm.learned_sinusoidal_dim,
         )
+        from ..models.stacked_denoiser import compute_extra_emb
+
         w = pack_stacked_weights(ddm_variables, dims)
-        cast = jnp.bfloat16 if ddm.dtype == jnp.bfloat16 else None
+        extra_emb = compute_extra_emb(w, **cond_kwargs)  # fp32 weights
+        cast = (
+            jnp.bfloat16
+            if getattr(ddm, "dtype", None) == jnp.bfloat16
+            else None
+        )
         if cast is not None:
             w = {k: v.astype(cast) for k, v in w.items()}
 
         def denoise(x, t, z):
-            out = stacked_denoiser_apply(w, x, t, z, dims, compute_dtype=cast)
+            out = stacked_denoiser_apply(
+                w, x, t, z, dims, compute_dtype=cast, extra_emb=extra_emb
+            )
             return out.astype(x.dtype)
 
         return denoise

@@ -76,6 +76,17 @@ def pack_denoiser_weights(variables: Dict, dims: DenoiserDims) -> Dict:
     out["time_b2"] = p["time_mlp_2"]["bias"]
     out["input_w"] = p["input_emb"]["kernel"]  # [cond_dim, emb]
     out["input_b"] = p["input_emb"]["bias"]
+    # optional conditioning heads (class- / region-conditioned denoisers):
+    # both are step-invariant additive embeddings, computed once per
+    # generation and folded into the hoisted input embedding
+    if "cls_embed" in p:
+        out["cls_w"] = p["cls_embed"]["kernel"]  # [1, emb]
+        out["cls_b"] = p["cls_embed"]["bias"]
+    if "region_mlp_1" in p:
+        out["region_w1"] = p["region_mlp_1"]["kernel"]  # [3, hidden]
+        out["region_b1"] = p["region_mlp_1"]["bias"]
+        out["region_w2"] = p["region_mlp_2"]["kernel"]  # [hidden, emb]
+        out["region_b2"] = p["region_mlp_2"]["bias"]
 
     out["init_w"] = core["init_conv"]["kernel"]  # [7, 1, L]
     out["init_b"] = core["init_conv"]["bias"]

@@ -37,6 +37,7 @@ __all__ = [
     "band_matrix",
     "pack_stacked_weights",
     "stacked_denoiser_apply",
+    "compute_extra_emb",
     "FLAGSHIP_DIMS",
 ]
 
@@ -89,10 +90,12 @@ def pack_stacked_weights(variables: Dict, dims: DenoiserDims = FLAGSHIP_DIMS) ->
     w = pack_denoiser_weights(variables, dims)
     L = dims.seq_len
     out: Dict[str, jax.Array] = {}
-    # embedding weights pass through
+    # embedding weights pass through (incl. optional conditioning heads)
     for k in ("fourier_w", "time_w1", "time_b1", "time_w2", "time_b2",
-              "input_w", "input_b"):
-        out[k] = w[k]
+              "input_w", "input_b", "cls_w", "cls_b",
+              "region_w1", "region_b1", "region_w2", "region_b2"):
+        if k in w:
+            out[k] = w[k]
 
     out["init_W"] = band_matrix(w["init_w"], L)
     out["init_b"] = _tile(w["init_b"], L)
@@ -282,11 +285,28 @@ def compute_input_emb(w, z_cond):
     return jax.nn.silu(z_cond @ w["input_w"] + w["input_b"])
 
 
-def compute_emb_s_stacked(w, t, z_cond=None, input_emb=None):
+def compute_extra_emb(w, cls_cond=None, region_points=None):
+    """Step-invariant conditioning embedding ``[B, emb]`` for the class- /
+    region-conditioned denoisers (an additive term before the silu; see
+    `models/conditioning.py`). Returns None for unconditional weights."""
+    if cls_cond is not None:
+        cls = cls_cond.reshape(-1, 1).astype(jnp.float32)
+        return jax.nn.silu(cls @ w["cls_w"] + w["cls_b"])
+    if region_points is not None:
+        pts = region_points.astype(jnp.float32)
+        h = jax.nn.silu(pts @ w["region_w1"] + w["region_b1"])
+        h = h @ w["region_w2"] + w["region_b2"]
+        return jax.nn.silu(jnp.max(h, axis=-2))
+    return None
+
+
+def compute_emb_s_stacked(w, t, z_cond=None, input_emb=None, extra_emb=None):
     if input_emb is None:
         input_emb = compute_input_emb(w, z_cond)
     t_emb = compute_time_emb(w, t)
     latent = t_emb[:, None, :] + input_emb
+    if extra_emb is not None:
+        latent = latent + extra_emb[:, None, :]
     return jax.nn.silu(latent).reshape(latent.shape[0], -1)
 
 
@@ -297,6 +317,7 @@ def stacked_denoiser_apply(
     z_cond: jax.Array,
     dims: DenoiserDims = FLAGSHIP_DIMS,
     compute_dtype: Optional[jnp.dtype] = None,
+    extra_emb: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Forward pass; numerically equal to ``GraspLatentDDM.apply``.
 
@@ -304,9 +325,13 @@ def stacked_denoiser_apply(
         w: packed tree from :func:`pack_stacked_weights` (cast to
             ``compute_dtype`` beforehand for bf16 runs, or pass fp32).
         x: ``[R, 1, L]`` latents; t ``[R]``; z_cond ``[R, Ce, cond_dim]``.
+        extra_emb: optional ``[R, emb]`` conditioning embedding
+            (:func:`compute_extra_emb`) for class/region-conditioned models.
     """
     in_dtype = x.dtype
-    emb_s = compute_emb_s_stacked(w, t, z_cond.astype(jnp.float32))
+    emb_s = compute_emb_s_stacked(
+        w, t, z_cond.astype(jnp.float32), extra_emb=extra_emb
+    )
     if compute_dtype is not None:
         emb_s = emb_s.astype(compute_dtype)
         x = x.astype(compute_dtype)

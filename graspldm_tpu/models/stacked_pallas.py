@@ -152,8 +152,10 @@ def pack_pallas_weights(
         out[k] = v.astype(dtype)
 
     for k in ("fourier_w", "time_w1", "time_b1", "time_w2", "time_b2",
-              "input_w", "input_b"):
-        out[k] = w[k]  # embedding path stays fp32 (runs in XLA)
+              "input_w", "input_b", "cls_w", "cls_b",
+              "region_w1", "region_b1", "region_w2", "region_b2"):
+        if k in w:
+            out[k] = w[k]  # embedding path stays fp32 (runs in XLA)
     put("init_W", w["init_W"])
     put("init_b", w["init_b"])
 

@@ -127,3 +127,69 @@ def test_stacked_pallas_z16_ppc_parity():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=5e-4)
+
+
+def test_conditioned_models_on_kernel_paths():
+    """Class/region conditioning is a step-invariant additive embedding:
+    the stacked and Pallas paths reproduce the flax conditioned denoisers
+    exactly by folding `compute_extra_emb` into the input embedding."""
+    from graspldm_tpu.models.conditioning import (
+        ClassConditionedGraspLatentDDM,
+        RegionConditionedGraspLatentDDM,
+    )
+    from graspldm_tpu.models.stacked_denoiser import (
+        FLAGSHIP_DIMS,
+        compute_extra_emb,
+        compute_input_emb,
+        pack_stacked_weights,
+        stacked_denoiser_apply,
+    )
+    from graspldm_tpu.models.stacked_pallas import (
+        pack_pallas_weights,
+        stacked_denoiser_pallas_apply,
+    )
+
+    key = jax.random.PRNGKey(21)
+    BG = 16
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = (jnp.arange(BG, dtype=jnp.int32) * 53) % 1000
+    zc = jax.random.normal(jax.random.PRNGKey(22), (BG, 3, 64))
+
+    # class-conditioned
+    ddm = ClassConditionedGraspLatentDDM(dropout=None)
+    cls = jnp.linspace(0.0, 1.0, BG)
+    variables = ddm.init({"params": key}, x, t, zc, cls_cond=cls)
+    want = np.asarray(ddm.apply(variables, x, t, zc, cls_cond=cls))
+
+    w = pack_stacked_weights(variables, FLAGSHIP_DIMS)
+    extra = compute_extra_emb(w, cls_cond=cls)
+    got = np.asarray(
+        stacked_denoiser_apply(w, x, t, zc, FLAGSHIP_DIMS, extra_emb=extra)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=5e-4)
+
+    wp = pack_pallas_weights(variables, FLAGSHIP_DIMS, dtype=jnp.float32)
+    ie = compute_input_emb(wp, zc) + compute_extra_emb(wp, cls_cond=cls)[
+        :, None, :
+    ]
+    got_p = np.asarray(
+        stacked_denoiser_pallas_apply(
+            wp, x, t, zc, FLAGSHIP_DIMS, block_rows=8, interpret=True,
+            input_emb=ie,
+        )
+    )
+    np.testing.assert_allclose(got_p, want, atol=2e-4, rtol=5e-4)
+
+    # region-conditioned
+    ddm_r = RegionConditionedGraspLatentDDM(dropout=None)
+    rp = jax.random.normal(jax.random.PRNGKey(23), (BG, 32, 3))
+    variables_r = ddm_r.init({"params": key}, x, t, zc, region_points=rp)
+    want_r = np.asarray(ddm_r.apply(variables_r, x, t, zc, region_points=rp))
+    w_r = pack_stacked_weights(variables_r, FLAGSHIP_DIMS)
+    extra_r = compute_extra_emb(w_r, region_points=rp)
+    got_r = np.asarray(
+        stacked_denoiser_apply(
+            w_r, x, t, zc, FLAGSHIP_DIMS, extra_emb=extra_r
+        )
+    )
+    np.testing.assert_allclose(got_r, want_r, atol=1e-4, rtol=5e-4)
