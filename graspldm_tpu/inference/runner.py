@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config
-from ..data import AcronymShapenetPointclouds
+from ..config import Config, DATASETS, build_from_cfg
 from ..flagship import FlagshipConfig, build_flagship, jit_init
 from ..training import TrainState, build_optimizer, init_train_state
 from ..training.experiment import restore_checkpoint
@@ -85,7 +84,15 @@ class InferenceBase:
 
         self.dataset = None
         if build_dataset and (data_root or self.cfg.get("root_data_dir")):
-            ds_args = dict(self.cfg.get_path("data.train.args", {}) or {})
+            # registry-driven build, like the train CLI: the config's
+            # data.train.type selects full-pc / partial-pc / classifier
+            # datasets (reference `tools/inference.py:184-196` patches the
+            # train config the same way)
+            from .. import data as _data  # noqa: F401 — registers DATASETS
+
+            ds_cfg = dict(self.cfg.get_path("data.train", {}) or {})
+            ds_cfg.setdefault("type", "AcronymShapenetPointclouds")
+            ds_args = dict(ds_cfg.get("args", {}) or {})
             ds_args.pop("augs_config", None)  # no augmentation at test time
             ds_args["split"] = split
             if data_root:
@@ -99,7 +106,9 @@ class InferenceBase:
                     ds_args.setdefault(
                         "region_num_points", self.model_cfg.region_num_points
                     )
-                self.dataset = AcronymShapenetPointclouds(**ds_args)
+                self.dataset = build_from_cfg(
+                    {"type": ds_cfg["type"], "args": ds_args}, DATASETS
+                )
 
     def _variables_from_state(self, state: TrainState) -> Dict[str, Any]:
         params = (
