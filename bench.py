@@ -35,6 +35,8 @@ def main():
     # GRASPLDM_BENCH_CONFIG=ppc benches the partial-pc flagship dims
     # (z16 / pc256, the second shipped experiment) instead of fpc z4/pc64.
     variant = os.environ.get("GRASPLDM_BENCH_CONFIG", "fpc")
+    if variant not in ("fpc", "ppc"):
+        raise SystemExit(f"GRASPLDM_BENCH_CONFIG must be fpc|ppc, got {variant!r}")
     cfg_kw = dict(denoiser_dtype=dtype)
     if variant == "ppc":
         cfg_kw.update(

@@ -110,12 +110,8 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
             "region_points"
         )
 
-    if impl == "pallas":
+    if impl in ("pallas", "stacked"):
         from ..models.fused_denoiser import DenoiserDims
-        from ..models.stacked_pallas import (
-            pack_pallas_weights,
-            stacked_denoiser_pallas_apply,
-        )
 
         dims = DenoiserDims(
             seq_len=ddm.latent_in_features,
@@ -126,6 +122,13 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
             cond_dim=ddm.pc_latent_size,
             fourier_dim=ddm.learned_sinusoidal_dim,
         )
+
+    if impl == "pallas":
+        from ..models.stacked_pallas import (
+            pack_pallas_weights,
+            stacked_denoiser_pallas_apply,
+        )
+
         # compute precision follows the model's declared compute dtype
         # (FlagshipConfig.denoiser_dtype), not silently bf16
         dtype = (
@@ -168,22 +171,11 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
         return denoise
 
     if impl == "stacked":
-        from ..models.fused_denoiser import DenoiserDims
         from ..models.stacked_denoiser import (
+            compute_extra_emb,
             pack_stacked_weights,
             stacked_denoiser_apply,
         )
-
-        dims = DenoiserDims(
-            seq_len=ddm.latent_in_features,
-            block_channels=tuple(ddm.block_channels),
-            groups=ddm.resnet_block_groups,
-            emb_dim=ddm.latent_in_features * 4,
-            cond_channels=3,
-            cond_dim=ddm.pc_latent_size,
-            fourier_dim=ddm.learned_sinusoidal_dim,
-        )
-        from ..models.stacked_denoiser import compute_extra_emb
 
         w = pack_stacked_weights(ddm_variables, dims)
         extra_emb = compute_extra_emb(w, **cond_kwargs)  # fp32 weights

@@ -36,6 +36,55 @@ def _out_specs_for(result: Dict[str, Any], axis: str):
     return {k: P(axis) for k in result}
 
 
+def _make_sharded_runner(mesh, axis, n_weight_args, per_chip, shape_fn):
+    """Shared scaffolding for the sharded generation entry points.
+
+    ``per_chip(*weights, pc, key)`` is the per-shard body; ``shape_fn``
+    gives the result tree via eval_shape on the B/n shard. Programs are
+    compiled once per (pc shape, dtype); weights/key replicate, pc shards.
+    """
+    n = mesh.shape[axis]
+    compiled: Dict = {}
+
+    def run(*args):
+        *weights, pc, key = args
+        if pc.shape[0] % n:
+            raise ValueError(
+                f"object batch {pc.shape[0]} not divisible by the "
+                f"{axis!r} axis size {n}"
+            )
+        sig = (pc.shape, str(pc.dtype))
+        if sig not in compiled:
+            out_tree = jax.eval_shape(
+                shape_fn,
+                *weights,
+                jax.ShapeDtypeStruct(
+                    (pc.shape[0] // n,) + pc.shape[1:], pc.dtype
+                ),
+                jax.ShapeDtypeStruct(key.shape, key.dtype),
+            )
+            compiled[sig] = jax.jit(
+                jax.shard_map(
+                    per_chip,
+                    mesh=mesh,
+                    in_specs=(P(),) * n_weight_args + (P(axis), P()),
+                    out_specs=_out_specs_for(out_tree, axis),
+                    # the per-chip body may launch Pallas kernels, whose
+                    # out_shapes carry no varying-mesh-axes metadata —
+                    # skip the vma check
+                    check_vma=False,
+                )
+            )
+        repl = NamedSharding(mesh, P())
+        return compiled[sig](
+            *(jax.device_put(w, repl) for w in weights),
+            jax.device_put(pc, NamedSharding(mesh, P(axis))),
+            jax.device_put(key, repl),
+        )
+
+    return run
+
+
 def make_sharded_ldm_generate(
     mesh: Mesh,
     vae,
@@ -55,8 +104,6 @@ def make_sharded_ldm_generate(
     weights are replicated. The per-chip body is exactly
     :func:`ldm_generate`, so the Pallas fast path runs when it qualifies.
     """
-    n = mesh.shape[axis]
-
     def per_chip(vae_vars, ddm_vars, pc, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return ldm_generate(
@@ -65,45 +112,16 @@ def make_sharded_ldm_generate(
             meta=meta, denoiser_impl=denoiser_impl,
         )
 
-    # out_specs depend on the result dict's keys; resolve them lazily from
-    # an abstract evaluation so optional keys (qualities) are covered.
-    def build(vae_vars, ddm_vars, pc, key):
-        out_tree = jax.eval_shape(
-            lambda vv, dv, p, k: ldm_generate(
-                vae, vv, ddm, dv, diffusion, p, num_grasps, k,
-                num_inference_steps=num_inference_steps, sampler=sampler,
-                meta=meta, denoiser_impl="flax",
-            ),
-            vae_vars, ddm_vars,
-            jax.ShapeDtypeStruct((pc.shape[0] // n,) + pc.shape[1:], pc.dtype),
-            jax.ShapeDtypeStruct(key.shape, key.dtype),
-        )
-        mapped = jax.shard_map(
-            per_chip,
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis), P()),
-            out_specs=_out_specs_for(out_tree, axis),
-            # the per-chip body may launch Pallas kernels, whose out_shapes
-            # carry no varying-mesh-axes metadata — skip the vma check
-            check_vma=False,
-        )
-        return jax.jit(mapped)
-
-    compiled = {}
-
-    def run(vae_vars, ddm_vars, pc, key):
-        sig = (pc.shape, str(pc.dtype))
-        if sig not in compiled:
-            compiled[sig] = build(vae_vars, ddm_vars, pc, key)
-        repl = NamedSharding(mesh, P())
-        return compiled[sig](
-            jax.device_put(vae_vars, repl),
-            jax.device_put(ddm_vars, repl),
-            jax.device_put(pc, NamedSharding(mesh, P(axis))),
-            jax.device_put(key, repl),
+    # out_specs depend on the result dict's keys; resolved lazily from an
+    # abstract evaluation so optional keys (qualities) are covered.
+    def shape_fn(vv, dv, p, k):
+        return ldm_generate(
+            vae, vv, ddm, dv, diffusion, p, num_grasps, k,
+            num_inference_steps=num_inference_steps, sampler=sampler,
+            meta=meta, denoiser_impl="flax",
         )
 
-    return run
+    return _make_sharded_runner(mesh, axis, 2, per_chip, shape_fn)
 
 
 def make_sharded_vae_generate(
@@ -114,41 +132,12 @@ def make_sharded_vae_generate(
     axis: str = "data",
 ):
     """Sharded VAE-mode generation (latents straight from the prior)."""
-    n = mesh.shape[axis]
 
     def per_chip(vae_vars, pc, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return vae_generate(vae, vae_vars, pc, num_grasps, key, meta=meta)
 
-    compiled = {}
+    def shape_fn(vv, p, k):
+        return vae_generate(vae, vv, p, num_grasps, k, meta=meta)
 
-    def run(vae_vars, pc, key):
-        sig = (pc.shape, str(pc.dtype))
-        if sig not in compiled:
-            out_tree = jax.eval_shape(
-                lambda vv, p, k: vae_generate(
-                    vae, vv, p, num_grasps, k, meta=meta
-                ),
-                vae_vars,
-                jax.ShapeDtypeStruct(
-                    (pc.shape[0] // n,) + pc.shape[1:], pc.dtype
-                ),
-                jax.ShapeDtypeStruct(key.shape, key.dtype),
-            )
-            compiled[sig] = jax.jit(
-                jax.shard_map(
-                    per_chip,
-                    mesh=mesh,
-                    in_specs=(P(), P(axis), P()),
-                    out_specs=_out_specs_for(out_tree, axis),
-                    check_vma=False,
-                )
-            )
-        repl = NamedSharding(mesh, P())
-        return compiled[sig](
-            jax.device_put(vae_vars, repl),
-            jax.device_put(pc, NamedSharding(mesh, P(axis))),
-            jax.device_put(key, repl),
-        )
-
-    return run
+    return _make_sharded_runner(mesh, axis, 1, per_chip, shape_fn)

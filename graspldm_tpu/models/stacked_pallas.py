@@ -625,6 +625,7 @@ def stacked_denoiser_pallas_apply(
     interpret: bool = False,
     fuse_stages: bool = False,
     input_emb: Optional[jax.Array] = None,
+    extra_emb: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full denoiser forward via fused Pallas kernels.
 
@@ -634,6 +635,10 @@ def stacked_denoiser_pallas_apply(
         input_emb: optional precomputed ``compute_input_emb(w, z_cond)``
             (``[BG, Ce, emb]``) — constant across sampler steps, hoist it
             out of the scan to cut per-step glue.
+        extra_emb: ``[BG, emb]`` class/region conditioning embedding
+            (``compute_extra_emb``). REQUIRED for conditioned weight packs
+            unless the caller already folded it into ``input_emb`` — the
+            kernels cannot detect a missing fold themselves.
         fuse_stages: run the WHOLE network in one kernel launch instead of
             one kernel per stage. Measured a wash on v5e (1.58-1.72 ms/step
             fused vs 1.58-1.61 per-stage at BG=8192 bf16, identical
@@ -662,6 +667,7 @@ def stacked_denoiser_pallas_apply(
         w, t,
         z_cond=None if input_emb is not None else z_cond.astype(jnp.float32),
         input_emb=input_emb,
+        extra_emb=extra_emb,
     )
     emb_s = emb_s.astype(dtype)
     X = (x[:, 0, :].astype(dtype) @ w["init_W"]) + w["init_b"]

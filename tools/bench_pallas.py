@@ -5,7 +5,7 @@ Times the dependent 20-step chain (the sampler's access pattern) for the
 Pallas path and, with --stages, each stage kernel in isolation. Use this to
 iterate on kernel op-count work (NEXT.md round-3 item 1).
 
-    python tools/bench_pallas.py [BG] [--stages] [--attn loop|mloop|pairs]
+    python tools/bench_pallas.py [BG] [--stages] [--attn mloop|pairs]
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("BG", nargs="?", type=int, default=8192)
     ap.add_argument("--stages", action="store_true")
-    ap.add_argument("--attn", default=None)
+    ap.add_argument("--attn", default=None, choices=["mloop", "pairs"])
     ap.add_argument("--block-rows", type=int, default=512)
     ap.add_argument("--row-split", type=int, default=1)
     ap.add_argument(
@@ -76,6 +76,14 @@ def main():
         sp._silu_f32 = lambda x: x
 
         def attn_floor(x, g, i, L, C, H, D):
+            if f"b{i}_Wq_c" in g:  # sliced stages pack compact projections
+                q = sp._dense_per_l_k(x, g[f"b{i}_Wq_c"], L, C, x.dtype)
+                k = sp._dense_per_l_k(x, g[f"b{i}_Wk_c"], L, C, x.dtype)
+                v = sp._dense_per_l_k(x, g[f"b{i}_Wv_c"], L, C, x.dtype)
+                out = q * k * v
+                return x + sp._dense_per_l_k(
+                    out, g[f"b{i}_Wo_c"], L, H * D, x.dtype
+                )
             q = sp._mmd(x, g[f"b{i}_Wq"], x.dtype)
             k = sp._mmd(x, g[f"b{i}_Wk"], x.dtype)
             v = sp._mmd(x, g[f"b{i}_Wv"], x.dtype)
@@ -186,7 +194,8 @@ def main():
                 )
             )
             dt = timeit(fn, X, emb_s) / 20
-            print(f"  stage{i} (Cin={X.shape[1] // 4:4d}): {dt * 1e3:.3f} ms")
+            print(f"  stage{i} (Cin={X.shape[1] // dims.seq_len:4d}): "
+                  f"{dt * 1e3:.3f} ms")
             X = sp._run_stage(w, X, emb_s, dims, i, False, args.block_rows,
                               False)
         fn = stage_chain(
@@ -194,7 +203,8 @@ def main():
                                        args.block_rows, False)
         )
         dt = timeit(fn, X, emb_s) / 20
-        print(f"  final  (Cin={X.shape[1] // 4:4d}): {dt * 1e3:.3f} ms")
+        print(f"  final  (Cin={X.shape[1] // dims.seq_len:4d}): "
+              f"{dt * 1e3:.3f} ms")
 
 
 if __name__ == "__main__":
