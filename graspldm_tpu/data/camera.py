@@ -14,7 +14,12 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["PinholeCamera", "depth_to_pointcloud_np"]
+__all__ = [
+    "PinholeCamera",
+    "depth_to_pointcloud_np",
+    "read_csv_realsense",
+    "calculate_view_frustum",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +58,75 @@ class PinholeCamera:
             [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]],
             dtype=np.float32,
         )
+
+    def write_json(self, path: str) -> None:
+        """Serialize the model (counterpart of `camera.py:217-224`, whose
+        upstream body is broken — it calls ``with`` on a string path)."""
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "width": self.width,
+                    "height": self.height,
+                    "fx": self.fx,
+                    "fy": self.fy,
+                    "cx": self.cx,
+                    "cy": self.cy,
+                    "depth_scale": self.depth_scale,
+                },
+                f,
+            )
+
+
+def read_csv_realsense(csv_file_path: str) -> dict:
+    """Parse a RealSense frame-metadata CSV into a camera-json dict.
+
+    Working rebuild of `grasp_ldm/utils/camera.py:17-52` (the upstream
+    version does arithmetic on un-parsed strings and mixes the key spellings
+    "Resolution x" / "Resolution_x" — it cannot run). Returns the same
+    schema: hfov/vfov in degrees, width/height, cameraMatrix, distCoeffs.
+    """
+    import csv
+
+    with open(csv_file_path) as f:
+        rows = {r[0]: r[1] for r in csv.reader(f) if len(r) > 1}
+
+    def get(*names):
+        for n in names:
+            if n in rows:
+                return rows[n]
+        raise KeyError(f"none of {names} in {csv_file_path}")
+
+    w = float(get("Resolution x", "Resolution_x"))
+    h = float(get("Resolution y", "Resolution_y"))
+    fx, fy = float(get("Fx")), float(get("Fy"))
+    ppx, ppy = float(get("PPx")), float(get("PPy"))
+    return {
+        "hfov": float(2 * np.arctan2(w, 2 * fx) * 180 / np.pi),
+        "vfov": float(2 * np.arctan2(h, 2 * fy) * 180 / np.pi),
+        "width": int(w),
+        "height": int(h),
+        "cameraMatrix": [[fx, 0.0, ppx], [0.0, fy, ppy], [0.0, 0.0, 1.0]],
+        "distCoeffs": [],
+    }
+
+
+def calculate_view_frustum(start_point, end_point, fov: float):
+    """Near/far frustum corner coordinates along a boresight line
+    (`grasp_ldm/utils/camera.py:54-86` semantics, vectorized)."""
+    start = np.asarray(start_point, np.float64)
+    end = np.asarray(end_point, np.float64)
+    distance = float(np.linalg.norm(end - start))
+    half = np.tan(np.radians(fov) / 2.0)
+    out = []
+    for i in (-1, 1):
+        out.append(
+            (
+                start[0] + i * distance * half,
+                start[1] + i * distance * half,
+                start[2] + i * distance,
+            )
+        )
+    return out
 
 
 def depth_to_pointcloud_np(

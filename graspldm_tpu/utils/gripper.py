@@ -14,7 +14,12 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["SimplePandaGripper", "gripper_control_points"]
+__all__ = [
+    "SimplePandaGripper",
+    "gripper_control_points",
+    "transform_to_fingertip_frame",
+    "transform_to_gripper_wrist",
+]
 
 
 class SimplePandaGripper:
@@ -58,3 +63,23 @@ def gripper_control_points(points_per_segment: int = 11) -> np.ndarray:
         ts = np.linspace(0.0, 1.0, points_per_segment)[:, None]
         pts.append(a[None, :] * (1 - ts) + b[None, :] * ts)
     return np.concatenate(pts, axis=0).astype(np.float32)
+
+
+def transform_to_fingertip_frame(grasps: np.ndarray) -> np.ndarray:
+    """Re-express ``[..., 4, 4]`` grasp poses in the FINGERTIP frame.
+
+    Right-multiplies a pure translation to BOTTOM_CENTER (the point between
+    the fingertips), matching `grasp_ldm/utils/gripper.py:170-218` — used
+    when handing grasps to a robot controller whose TCP is at the tips.
+    """
+    t = np.eye(4, dtype=np.asarray(grasps).dtype)
+    t[:3, 3] = SimplePandaGripper.BOTTOM_CENTER
+    return np.asarray(grasps) @ t
+
+
+def transform_to_gripper_wrist(grasps: np.ndarray) -> np.ndarray:
+    """Re-express ``[..., 4, 4]`` grasp poses in the WRIST/center frame
+    (`grasp_ldm/utils/gripper.py:220-251`)."""
+    t = np.eye(4, dtype=np.asarray(grasps).dtype)
+    t[:3, 3] = SimplePandaGripper.CENTER
+    return np.asarray(grasps) @ t

@@ -22,7 +22,12 @@ except ImportError:  # pragma: no cover
     trimesh = None
     _HAS_TRIMESH = False
 
-__all__ = ["create_gripper_marker", "visualize_pc_grasps", "grasp_segments"]
+__all__ = [
+    "create_gripper_marker",
+    "visualize_pc",
+    "visualize_pc_grasps",
+    "grasp_segments",
+]
 
 
 def grasp_segments(H: np.ndarray) -> np.ndarray:
@@ -63,6 +68,28 @@ def create_gripper_marker(
     marker = trimesh.util.concatenate(cylinders)
     marker.visual.face_colors = list(color) + [255]
     return marker
+
+
+def visualize_pc(pc: np.ndarray):
+    """Show a point cloud colored by xyz (`grasp_ldm/utils/vis.py:51-64`)."""
+    trimesh = _require_trimesh()
+    pc = np.asarray(pc).reshape(-1, 3)
+    maxs = np.maximum(np.abs(pc).max(axis=0), 1e-9)
+    colors = np.clip(
+        np.stack(
+            [
+                pc[:, 0] * 255 / maxs[0],
+                pc[:, 1] * 200 / maxs[1],
+                pc[:, 2] * 175 / maxs[2],
+                np.full(pc.shape[0], 200.0),
+            ],
+            axis=1,
+        ),
+        0,
+        255,
+    )
+    cloud = trimesh.points.PointCloud(pc, colors=colors.astype(np.uint8))
+    return trimesh.Scene(cloud)
 
 
 def visualize_pc_grasps(

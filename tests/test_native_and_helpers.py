@@ -206,3 +206,63 @@ class TestClassifierDataset:
         assert m["grasp_region_labels"].shape == (8,)
         assert m["grasp_region_labels"].min() >= 0
         assert m["grasp_region_labels"].max() < 3
+
+
+def test_gripper_frame_transforms():
+    """Fingertip/wrist frame re-expression (`gripper.py:170-251`): pure
+    translation along the grasp's own z axis, rotation unchanged."""
+    from scipy.spatial.transform import Rotation
+
+    from graspldm_tpu.utils.gripper import (
+        SimplePandaGripper,
+        transform_to_fingertip_frame,
+        transform_to_gripper_wrist,
+    )
+
+    H = np.tile(np.eye(4), (3, 1, 1))
+    H[:, :3, :3] = Rotation.random(3, random_state=0).as_matrix()
+    H[:, :3, 3] = np.random.default_rng(0).normal(size=(3, 3))
+
+    ft = transform_to_fingertip_frame(H)
+    np.testing.assert_allclose(ft[:, :3, :3], H[:, :3, :3])
+    np.testing.assert_allclose(
+        ft[:, :3, 3],
+        H[:, :3, 3] + H[:, :3, :3] @ SimplePandaGripper.BOTTOM_CENTER,
+        atol=1e-12,
+    )
+    wr = transform_to_gripper_wrist(H)
+    np.testing.assert_allclose(
+        wr[:, :3, 3],
+        H[:, :3, 3] + H[:, :3, :3] @ SimplePandaGripper.CENTER,
+        atol=1e-12,
+    )
+
+
+def test_camera_csv_and_json_roundtrip(tmp_path):
+    """read_csv_realsense (working rebuild of the broken upstream parser,
+    `camera.py:17-52`) and PinholeCamera.write_json/from_json."""
+    from graspldm_tpu.data.camera import (
+        PinholeCamera,
+        calculate_view_frustum,
+        read_csv_realsense,
+    )
+
+    csv_path = tmp_path / "frame.csv"
+    csv_path.write_text(
+        "Type,Depth\nResolution x,640\nResolution y,480\n"
+        "Fx,616.0\nFy,616.0\nPPx,320.5\nPPy,240.5\nsolo\n"
+    )
+    d = read_csv_realsense(str(csv_path))
+    assert d["width"] == 640 and d["height"] == 480
+    np.testing.assert_allclose(d["cameraMatrix"][0], [616.0, 0.0, 320.5])
+    assert 0 < d["hfov"] < 180
+
+    cam = PinholeCamera.default_d435i()
+    jp = tmp_path / "cam.json"
+    cam.write_json(str(jp))
+    cam2 = PinholeCamera.from_json(str(jp))
+    assert cam2 == cam
+
+    fr = calculate_view_frustum((0, 0, 0), (0, 0, 2.0), 90.0)
+    assert len(fr) == 2
+    np.testing.assert_allclose(fr[1][2], 2.0)
