@@ -152,18 +152,54 @@ class InferenceBase:
         )[:, None, :]
         return out
 
+    def set_normalization_params(
+        self,
+        pc_shift,
+        translation_scale: float,
+        rotation_scale: float,
+        grasp_shift=None,
+    ) -> None:
+        """Override the raw-pointcloud normalization used by
+        :meth:`infer_on_pointcloud`.
+
+        Rebuild of `grasp_ldm/inference/inference_base.py:103-131` — for
+        checkpoints trained with non-default (e.g. dataset-statistics)
+        normalization. ``pc_shift``/``grasp_shift`` are ``[3]`` metric
+        offsets; scales are the translation/MRP divisors.
+        """
+        pc_shift = jnp.asarray(pc_shift, jnp.float32)
+        g_shift = (
+            jnp.asarray(grasp_shift, jnp.float32)
+            if grasp_shift is not None
+            else pc_shift
+        )
+        self._norm_override = NormalizationMeta(
+            pc_mean=pc_shift[None],
+            pc_std=jnp.full((1, 3), translation_scale, jnp.float32),
+            grasp_mean=jnp.concatenate([g_shift, jnp.zeros(3)])[None],
+            grasp_std=jnp.asarray(
+                [[translation_scale] * 3 + [rotation_scale] * 3], jnp.float32
+            ),
+        )
+
     def infer_on_pointcloud(
         self, pc_raw: np.ndarray, num_grasps: int, rng: jax.Array, **kwargs
     ) -> Dict[str, Any]:
         """Generate for a raw (metric) point cloud ``[N, 3]``.
 
-        Normalizes with the fixed stats (`tools/inference.py:658-666`).
+        Normalizes with the fixed stats (`tools/inference.py:658-666`), or
+        with :meth:`set_normalization_params` overrides when set.
         """
         from ..utils.normalization import normalize_pc_and_grasps
 
         pc = jnp.asarray(pc_raw, jnp.float32)[None]
-        dummy = jnp.zeros((1, 1, 6))
-        pc_n, _, meta = normalize_pc_and_grasps(pc, dummy)
+        override = getattr(self, "_norm_override", None)
+        if override is not None:
+            meta = override
+            pc_n = (pc - meta.pc_mean[:, None, :]) / meta.pc_std[:, None, :]
+        else:
+            dummy = jnp.zeros((1, 1, 6))
+            pc_n, _, meta = normalize_pc_and_grasps(pc, dummy)
         out = self.generate(pc_n, num_grasps, rng, meta, **kwargs)
         out["pc"] = np.asarray(pc)
         return out

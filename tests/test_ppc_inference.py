@@ -121,3 +121,35 @@ def test_ppc_train_and_infer(tmp_path):
     m = evaluate_against_ground_truth(runner, indices=[0, 1], num_grasps=4,
                                       rng=jax.random.PRNGKey(3))
     assert np.isfinite(m["coverage"])
+
+
+def test_set_normalization_params_override():
+    """Custom normalization for raw-pc inference
+    (`grasp_ldm/inference/inference_base.py:103-131`): the override's
+    shift/scale are applied to the input cloud and inverted on outputs."""
+    import jax.numpy as jnp
+
+    from graspldm_tpu.inference.runner import InferenceBase
+
+    captured = {}
+
+    class Probe(InferenceBase):
+        def __init__(self):  # bypass checkpoint loading
+            pass
+
+        def generate(self, pc, num_grasps, rng, meta, **kwargs):
+            captured["pc_n"] = np.asarray(pc)
+            captured["meta"] = meta
+            return {}
+
+    p = Probe()
+    p.set_normalization_params(
+        pc_shift=[1.0, 2.0, 3.0], translation_scale=0.1, rotation_scale=0.25
+    )
+    raw = np.tile(np.array([[1.0, 2.0, 3.0]]), (8, 1)) + 0.05
+    p.infer_on_pointcloud(raw, 4, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(captured["pc_n"], 0.5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(captured["meta"].grasp_std[0]),
+        [0.1, 0.1, 0.1, 0.25, 0.25, 0.25],
+    )
