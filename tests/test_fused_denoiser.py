@@ -193,3 +193,37 @@ def test_conditioned_models_on_kernel_paths():
         )
     )
     np.testing.assert_allclose(got_r, want_r, atol=1e-4, rtol=5e-4)
+
+
+def test_elucidated_sampler_on_stacked_path():
+    """The EDM/DPM++ samplers call the denoiser with continuous c_noise
+    "timesteps"; the stacked kernel path's time embedding must reproduce
+    the flax module there too (the auto impl picks the kernels for
+    elucidated flagship checkpoints on TPU)."""
+    from graspldm_tpu.diffusion import ElucidatedDiffusion
+    from graspldm_tpu.inference.pipeline import _make_denoise_fn
+
+    ddm = GraspLatentDDM(dropout=None)
+    key = jax.random.PRNGKey(31)
+    BG = 8
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = jnp.zeros((BG,), jnp.int32)
+    zc = jax.random.normal(jax.random.PRNGKey(32), (BG, 3, 64))
+    variables = ddm.init({"params": key}, x, t, zc)
+
+    diff = ElucidatedDiffusion(n_dims=4, num_sample_steps=4)
+    d_flax = _make_denoise_fn(ddm, variables, {}, jnp.float32, "flax")
+    d_stacked = _make_denoise_fn(ddm, variables, {}, jnp.float32, "stacked")
+
+    for sampler_kw in ({"use_dpmpp": True}, {"use_dpmpp": False}):
+        x0_f, _ = diff.sample(
+            d_flax, jax.random.PRNGKey(5), batch_size=BG, z_cond=zc,
+            num_sample_steps=4, **sampler_kw,
+        )
+        x0_s, _ = diff.sample(
+            d_stacked, jax.random.PRNGKey(5), batch_size=BG, z_cond=zc,
+            num_sample_steps=4, **sampler_kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(x0_s), np.asarray(x0_f), atol=5e-4, rtol=5e-4
+        )
