@@ -27,6 +27,47 @@ from ..utils.rotations import tmrp_to_H
 __all__ = ["vae_generate", "ldm_generate", "decode_and_postprocess"]
 
 
+def _make_decode_fn(vae, vae_variables, impl: str = "auto"):
+    """Resolve the decoder hot path.
+
+    The decoder core is a plain conditional ResNet1D — the z16-shaped
+    sibling of the denoiser — and it processes the FULL ``B*G`` batch once
+    per generation (~20% of an LDM call, ~all of a VAE-mode call). "auto"
+    routes it through the generic-L Pallas kernels on TPU.
+    """
+    from ..models.grasp_vae import GraspCVAE
+
+    qualifies = (
+        isinstance(vae, GraspCVAE)
+        and vae.intermediate_feature_resolution in (4, 16)
+    )
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if qualifies and jax.default_backend() not in ("cpu",)
+            else "flax"
+        )
+    if impl == "pallas":
+        from ..models.fast_decoder import (
+            decoder_dims_for,
+            decoder_fast_apply,
+            pack_decoder_weights,
+        )
+
+        dims = decoder_dims_for(vae)
+        w = pack_decoder_weights(vae_variables, dims, dtype=jnp.bfloat16)
+
+        def decode(z_h, z_pc_rep):
+            return decoder_fast_apply(w, z_h, z_pc_rep, dims)
+
+        return decode
+
+    def decode(z_h, z_pc_rep):
+        return vae.apply(vae_variables, z_h, z_pc_rep, method="decode")
+
+    return decode
+
+
 def decode_and_postprocess(
     vae,
     vae_variables: Dict[str, Any],
@@ -34,6 +75,7 @@ def decode_and_postprocess(
     z_pc_rep: jax.Array,
     num_grasps: int,
     meta: Optional[NormalizationMeta],
+    decode_fn=None,
 ) -> Dict[str, jax.Array]:
     """Decode latents and convert to world-frame grasp transforms.
 
@@ -41,7 +83,9 @@ def decode_and_postprocess(
     ``grasps [B, G, 4, 4]``, ``grasp_tmrp [B, G, 6]`` (unnormalized),
     ``confidence [B, G]``, ``qualities [B, G, nq]`` or None.
     """
-    out = vae.apply(vae_variables, z_h, z_pc_rep, method="decode")
+    if decode_fn is None:
+        decode_fn = _make_decode_fn(vae, vae_variables, "flax")
+    out = decode_fn(z_h, z_pc_rep)
     tmrp_n, cls_logits = out[0], out[1]
     qualities = out[2] if len(out) > 2 else None
 
@@ -215,6 +259,7 @@ def vae_generate(
     num_grasps: int,
     rng: jax.Array,
     meta: Optional[NormalizationMeta] = None,
+    decoder_impl: str = "auto",
 ) -> Dict[str, jax.Array]:
     """VAE-mode generation: latents straight from the N(0, I) prior.
 
@@ -227,7 +272,10 @@ def vae_generate(
     z_h = jax.random.normal(
         rng, (B * num_grasps, vae.grasp_latent_size), pc.dtype
     )
-    return decode_and_postprocess(vae, vae_variables, z_h, z_pc_rep, num_grasps, meta)
+    return decode_and_postprocess(
+        vae, vae_variables, z_h, z_pc_rep, num_grasps, meta,
+        decode_fn=_make_decode_fn(vae, vae_variables, decoder_impl),
+    )
 
 
 def ldm_generate(
@@ -246,6 +294,7 @@ def ldm_generate(
     cls_cond: Optional[jax.Array] = None,
     region_points: Optional[jax.Array] = None,
     denoiser_impl: str = "auto",
+    decoder_impl: str = "auto",
 ) -> Dict[str, jax.Array]:
     """LDM-mode generation: reverse diffusion in the grasp latent space.
 
@@ -308,8 +357,10 @@ def ldm_generate(
             sampler=sampler,
             return_trajectory=return_trajectory,
         )
+    decode_fn = _make_decode_fn(vae, vae_variables, decoder_impl)
     result = decode_and_postprocess(
-        vae, vae_variables, x0[:, 0, :], z_pc_rep, num_grasps, meta
+        vae, vae_variables, x0[:, 0, :], z_pc_rep, num_grasps, meta,
+        decode_fn=decode_fn,
     )
     if return_trajectory:
         result["latent_trajectory"] = traj
@@ -321,7 +372,8 @@ def ldm_generate(
 
         def _decode_step(z):
             return decode_and_postprocess(
-                vae, vae_variables, z[:, 0, :], z_pc_rep, num_grasps, meta
+                vae, vae_variables, z[:, 0, :], z_pc_rep, num_grasps, meta,
+                decode_fn=decode_fn,
             )["grasps"]
 
         result["all_diffusion_grasps"] = jax.lax.map(

@@ -69,11 +69,14 @@ def pack_denoiser_weights(variables: Dict, dims: DenoiserDims) -> Dict:
     consts = variables.get("constants", {}).get("denoiser", {})
 
     out: Dict[str, jax.Array] = {}
-    out["fourier_w"] = consts["sinu_pos_emb"]["weights"]
-    out["time_w1"] = p["time_mlp_1"]["kernel"]
-    out["time_b1"] = p["time_mlp_1"]["bias"]
-    out["time_w2"] = p["time_mlp_2"]["kernel"]
-    out["time_b2"] = p["time_mlp_2"]["bias"]
+    # time-embedding head — absent for plain (non-temporal) ResNet1D cores
+    # such as the VAE decoder, which share everything below
+    if "time_mlp_1" in p:
+        out["fourier_w"] = consts["sinu_pos_emb"]["weights"]
+        out["time_w1"] = p["time_mlp_1"]["kernel"]
+        out["time_b1"] = p["time_mlp_1"]["bias"]
+        out["time_w2"] = p["time_mlp_2"]["kernel"]
+        out["time_b2"] = p["time_mlp_2"]["bias"]
     out["input_w"] = p["input_emb"]["kernel"]  # [cond_dim, emb]
     out["input_b"] = p["input_emb"]["bias"]
     # optional conditioning heads (class- / region-conditioned denoisers):

@@ -303,8 +303,10 @@ def compute_extra_emb(w, cls_cond=None, region_points=None):
 def compute_emb_s_stacked(w, t, z_cond=None, input_emb=None, extra_emb=None):
     if input_emb is None:
         input_emb = compute_input_emb(w, z_cond)
-    t_emb = compute_time_emb(w, t)
-    latent = t_emb[:, None, :] + input_emb
+    if t is None or "time_w1" not in w:
+        latent = input_emb  # plain (non-temporal) ResNet1D core
+    else:
+        latent = compute_time_emb(w, t)[:, None, :] + input_emb
     if extra_emb is not None:
         latent = latent + extra_emb[:, None, :]
     return jax.nn.silu(latent).reshape(latent.shape[0], -1)

@@ -227,3 +227,38 @@ def test_elucidated_sampler_on_stacked_path():
         np.testing.assert_allclose(
             np.asarray(x0_s), np.asarray(x0_f), atol=5e-4, rtol=5e-4
         )
+
+
+def test_decoder_fast_path_parity():
+    """The VAE decoder (plain conditional ResNet1D + heads) through the
+    generic-L Pallas kernels matches GraspCVAE.decode exactly."""
+    from graspldm_tpu.flagship import FlagshipConfig, build_flagship
+    from graspldm_tpu.models.fast_decoder import (
+        decoder_dims_for,
+        decoder_fast_apply,
+        pack_decoder_weights,
+    )
+
+    cfg = FlagshipConfig(
+        pc_num_points=32, pc_scale_voxel_resolution=0.25,
+        pc_scale_channels=0.25, dropout=None,
+    )
+    vae, _, _ = build_flagship(cfg)
+    rng = jax.random.PRNGKey(0)
+    BG = 16
+    pc = jax.random.normal(rng, (2, 32, 3))
+    grasps = jax.random.normal(rng, (4, 7))
+    v = vae.init({"params": rng, "dropout": rng}, pc, grasps)
+    z_h = jax.random.normal(jax.random.PRNGKey(1), (BG, cfg.grasp_latent_size))
+    z_pc = jax.random.normal(
+        jax.random.PRNGKey(2), (BG, cfg.pc_latent_channels, cfg.pc_latent_size)
+    )
+    want = vae.apply(v, z_h, z_pc, method="decode")
+    dims = decoder_dims_for(vae)
+    w = pack_decoder_weights(v, dims, dtype=jnp.float32)
+    got = decoder_fast_apply(w, z_h, z_pc, dims, block_rows=8, interpret=True)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=5e-4
+        )
