@@ -152,9 +152,6 @@ def main():
                 "grasps_per_sec_per_chip_100_ddim_steps": round(grasps_per_sec, 1),
                 "sharded_program_grasps_per_sec_local_mesh": sharded_gps,
                 "n_local_devices": jax.device_count(),
-                "v5e8_extrapolated_grasps_per_sec_collective_free": round(
-                    grasps_per_sec * 8, 1
-                ),
                 "vae_samples_per_sec": round(vae_samples_per_sec, 1),
                 "p50_latency_per_object_ms_amortized": round(
                     p50_ms_per_object_amortized, 2

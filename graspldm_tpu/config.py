@@ -4,19 +4,24 @@ Keeps the reference's config UX (`grasp_ldm/utils/config.py:70-333`):
 experiment configs are plain ``.py`` files whose top-level names become config
 entries; ``_base_`` pulls in parent configs (deep-merged, child wins); a
 ``_delete_: True`` key in a child dict replaces the parent dict instead of
-merging. Components are declared as ``dict(type="Name", args=dict(...))`` and
-resolved against string registries (`models/builder.py:28-116`,
-`dataset/builder.py:7-42`, `losses/builder.py:3-16`).
+merging; ``{{ fileDirname }}``-style predefined template variables are
+substituted before execution (`config.py:107-127`); dotted CLI overrides
+merge via :func:`merge_from_dict` (`config.py:268-324,522-568`). Components
+are declared as ``dict(type="Name", args=dict(...))`` and resolved against
+string registries (`models/builder.py:28-116`, `dataset/builder.py:7-42`,
+`losses/builder.py:3-16`).
 """
 
 from __future__ import annotations
 
-import importlib.util
+import ast
 import os
-from typing import Any, Callable, Dict, Optional
+import re
+from typing import Any, Callable, Dict, List, Optional
 
 __all__ = ["ConfigDict", "Config", "Registry", "MODELS", "DATASETS", "LOSSES",
-           "AUGMENTATIONS", "build_from_cfg", "dump_config"]
+           "AUGMENTATIONS", "build_from_cfg", "dump_config",
+           "merge_from_dict", "parse_cfg_options"]
 
 
 class ConfigDict(dict):
@@ -62,20 +67,37 @@ def _deep_merge(base: Dict, override: Dict) -> Dict:
     return out
 
 
+def _substitute_predefined_vars(text: str, path: str) -> str:
+    """``{{ fileDirname }}``-style template substitution (the reference's
+    predefined variable set, `grasp_ldm/utils/config.py:107-127`)."""
+    base = os.path.basename(path)
+    stem, ext = os.path.splitext(base)
+    templates = {
+        "fileDirname": os.path.dirname(path),
+        "fileBasename": base,
+        "fileBasenameNoExtension": stem,
+        "fileExtname": ext,
+    }
+    for key, value in templates.items():
+        text = re.sub(
+            r"\{\{\s*" + key + r"\s*\}\}", value.replace("\\", "/"), text
+        )
+    return text
+
+
 class Config:
     """Loader for python-file configs."""
 
     @staticmethod
     def _exec_file(path: str) -> Dict[str, Any]:
         path = os.path.abspath(path)
-        spec = importlib.util.spec_from_file_location(
-            f"_graspldm_cfg_{abs(hash(path))}", path
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        with open(path, encoding="utf-8") as f:
+            text = _substitute_predefined_vars(f.read(), path)
+        ns: Dict[str, Any] = {"__file__": path}
+        exec(compile(text, path, "exec"), ns)
         return {
             k: v
-            for k, v in vars(mod).items()
+            for k, v in ns.items()
             if not k.startswith("__") and not callable(v) and not _is_module(v)
         }
 
@@ -99,6 +121,85 @@ def _is_module(v: Any) -> bool:
     import types
 
     return isinstance(v, types.ModuleType)
+
+
+def _merge_options(a: Any, b: Any, allow_list_keys: bool = True) -> Any:
+    """Merge override tree ``a`` into ``b`` (a wins); digit string keys
+    index into lists when ``allow_list_keys`` (reference `_merge_a_into_b`,
+    `grasp_ldm/utils/config.py:268-324`)."""
+    if not isinstance(a, dict):
+        return a
+    if allow_list_keys and isinstance(b, list):
+        out_list = list(b)
+        for k, v in a.items():
+            if not str(k).isdigit():
+                raise KeyError(f"non-index key {k!r} for a list target")
+            i = int(k)
+            if i >= len(out_list):
+                raise KeyError(f"index {i} exceeds list length {len(out_list)}")
+            out_list[i] = _merge_options(v, out_list[i], allow_list_keys)
+        return out_list
+    if not isinstance(b, dict) or a.get("_delete_", False):
+        return {k: v for k, v in a.items() if k != "_delete_"}
+    out = dict(b)
+    for k, v in a.items():
+        out[k] = _merge_options(v, b.get(k), allow_list_keys)
+    return out
+
+
+def merge_from_dict(
+    cfg: Dict[str, Any], options: Dict[str, Any], allow_list_keys: bool = True
+) -> ConfigDict:
+    """Merge ``{"a.b.c": value}`` dotted options into a config (the
+    reference's ``Config.merge_from_dict``, `config.py:522-568`).
+
+    Digit path segments index into lists (``pipeline.0.type=X``). Returns a
+    new ConfigDict; ``cfg`` is not mutated.
+    """
+    tree: Dict[str, Any] = {}
+    for full_key, v in options.items():
+        d = tree
+        parts = full_key.split(".")
+        for sub in parts[:-1]:
+            d = d.setdefault(sub, {})
+        d[parts[-1]] = v
+    return ConfigDict(_merge_options(tree, dict(cfg), allow_list_keys))
+
+
+def parse_cfg_options(pairs: List[str]) -> Dict[str, Any]:
+    """Parse ``KEY=VALUE`` CLI override strings (mmcv DictAction semantics):
+    values go through literal_eval with int/float/bool/None handling, and
+    top-level commas build lists (``a.b=1,2,3`` -> ``[1, 2, 3]``)."""
+
+    def parse_value(s: str) -> Any:
+        try:
+            return ast.literal_eval(s)
+        except (ValueError, SyntaxError):
+            pass
+        low = s.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        if low in ("none", "null"):
+            return None
+        return s
+
+    out: Dict[str, Any] = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(f"cfg option {pair!r} is not KEY=VALUE")
+        key, value = pair.split("=", 1)
+        if "," in value:
+            try:  # a bracketed/quoted literal may legitimately hold commas
+                lit = ast.literal_eval(value)
+                # a bare "1,2,3" parses as a tuple — normalize to list
+                out[key] = list(lit) if isinstance(lit, tuple) else lit
+                continue
+            except (ValueError, SyntaxError):
+                items = [v for v in value.split(",") if v != ""]
+                out[key] = [parse_value(v) for v in items]
+                continue
+        out[key] = parse_value(value)
+    return out
 
 
 def dump_config(cfg: Dict[str, Any], path: str) -> None:

@@ -13,7 +13,11 @@ from .augmentations import (
     build_augmentations,
 )
 from .camera import PinholeCamera, depth_to_pointcloud_np
-from .grasp_points import AcronymGraspPointsDataset, gripper_surface_points
+from .grasp_points import (
+    AcronymGraspPointsDataset,
+    AcronymPartialGraspPointsDataset,
+    gripper_surface_points,
+)
 from .mesh import Mesh, load_obj, sample_surface
 from .partial import AcronymPartialPointclouds
 from .synthetic import make_synthetic_acronym

@@ -349,6 +349,17 @@ class AcronymShapenetPointclouds:
             "metas": metas,
         }
 
+    def worker_copy(self, seed: int) -> "AcronymShapenetPointclouds":
+        """Shallow copy with an independent RNG, for one loader-worker
+        thread (`parallel/workers.py`). Object records and the mesh cache
+        are shared; the per-worker RNG removes the only cross-thread
+        mutable state on the item path."""
+        import copy
+
+        c = copy.copy(self)
+        c._rng = np.random.default_rng(seed)
+        return c
+
     def batches(
         self, batch_size: int, *, shuffle: bool = True, drop_last: bool = True
     ) -> Iterator[Dict[str, np.ndarray]]:

@@ -18,7 +18,11 @@ from ..config import DATASETS
 from ..utils.gripper import SimplePandaGripper, gripper_control_points
 from .acronym import AcronymShapenetPointclouds
 
-__all__ = ["gripper_surface_points", "AcronymGraspPointsDataset"]
+__all__ = [
+    "gripper_surface_points",
+    "AcronymGraspPointsDataset",
+    "AcronymPartialGraspPointsDataset",
+]
 
 
 def gripper_surface_points(num_points: int = 76) -> np.ndarray:
@@ -60,14 +64,21 @@ def _transform_points(H: np.ndarray, pts: np.ndarray) -> np.ndarray:
 
 @DATASETS.register
 class AcronymGraspPointsDataset:
-    """Wraps the full-pc dataset into classifier training items.
+    """Wraps a pointcloud dataset into classifier training items.
 
     Item: ``pc [N, 3]``, ``grasp_points [G, P, 3]``, ``labels [G]``.
+
+    Any base dataset yielding the framework item schema (``pc``/``grasps``/
+    ``metas`` with per-object normalization stats) works — pass it as
+    ``base``. Without one, the full-pc ACRONYM dataset is built from the
+    remaining kwargs (the reference's AcronymFullPcGraspPointsClassification,
+    `acronym_grasp_points.py:275-374`); see
+    :class:`AcronymPartialGraspPointsDataset` for the partial-pc wrap.
     """
 
     def __init__(
         self,
-        data_root_dir: str,
+        data_root_dir: Optional[str] = None,
         split: str = "train",
         num_gripper_points: int = 76,
         bogus_grasp_fraction: float = 0.3,
@@ -75,20 +86,35 @@ class AcronymGraspPointsDataset:
         batch_num_grasps_per_pc: int = 20,
         batch_failed_grasps_ratio: float = 0.3,
         seed: int = 0,
+        base=None,
         **base_kwargs,
     ):
-        self.base = AcronymShapenetPointclouds(
-            data_root_dir=data_root_dir,
-            split=split,
-            batch_num_points_per_pc=batch_num_points_per_pc,
-            batch_num_grasps_per_pc=batch_num_grasps_per_pc,
-            batch_failed_grasps_ratio=batch_failed_grasps_ratio,
-            seed=seed,
-            **base_kwargs,
-        )
+        if base is None:
+            if data_root_dir is None:
+                raise ValueError("data_root_dir is required without `base`")
+            base = AcronymShapenetPointclouds(
+                data_root_dir=data_root_dir,
+                split=split,
+                batch_num_points_per_pc=batch_num_points_per_pc,
+                batch_num_grasps_per_pc=batch_num_grasps_per_pc,
+                batch_failed_grasps_ratio=batch_failed_grasps_ratio,
+                seed=seed,
+                **base_kwargs,
+            )
+        self.base = base
         self.gripper_points = gripper_surface_points(num_gripper_points)
         self.bogus_fraction = bogus_grasp_fraction
         self._rng = np.random.default_rng(seed + 1)
+
+    def worker_copy(self, seed: int) -> "AcronymGraspPointsDataset":
+        """Shallow copy with independent RNGs (self + base) for one
+        loader-worker thread (`parallel/workers.py`)."""
+        import copy
+
+        c = copy.copy(self)
+        c._rng = np.random.default_rng(seed + 1)
+        c.base = self.base.worker_copy(seed)
+        return c
 
     def __len__(self) -> int:
         return len(self.base)
@@ -176,3 +202,59 @@ class AcronymGraspPointsDataset:
                 "grasp_points": np.stack([it["grasp_points"] for it in items]),
                 "labels": np.stack([it["labels"] for it in items]),
             }
+
+
+@DATASETS.register
+class AcronymPartialGraspPointsDataset(AcronymGraspPointsDataset):
+    """Partial-pc classifier dataset: depth-rendered scene pointclouds +
+    labeled gripper clouds.
+
+    Rebuild of the reference's AcronymPartialPcGraspPointsClassification
+    (`acronym_grasp_points.py:377-448`): the same grasp-points item
+    construction over the partial (depth-camera) pointcloud base, with the
+    reference's 0.2 default bogus fraction.
+    """
+
+    def __init__(
+        self,
+        data_root_dir: str,
+        split: str = "train",
+        camera_json: Optional[str] = None,
+        num_gripper_points: int = 76,
+        bogus_grasp_fraction: float = 0.2,
+        batch_num_points_per_pc: int = 1024,
+        batch_num_grasps_per_pc: int = 20,
+        batch_failed_grasps_ratio: float = 0.3,
+        max_num_pc_per_scene: Optional[int] = 20,
+        seed: int = 0,
+        **base_kwargs,
+    ):
+        from .partial import AcronymPartialPointclouds
+
+        use_failed = (
+            batch_failed_grasps_ratio is not None
+            and batch_failed_grasps_ratio > 0
+        )
+        # setdefault: configs may pass the partial base's own kwarg names
+        # directly (e.g. a shared data.train.args block)
+        base_kwargs.setdefault("num_points_per_pc", batch_num_points_per_pc)
+        base_kwargs.setdefault("num_grasps_per_obj", batch_num_grasps_per_pc)
+        base_kwargs.setdefault("use_failed_grasps", use_failed)
+        base_kwargs.setdefault(
+            "failed_grasp_ratio",
+            batch_failed_grasps_ratio if use_failed else 0.0,
+        )
+        base_kwargs.setdefault("num_pc_per_scene", max_num_pc_per_scene)
+        base = AcronymPartialPointclouds(
+            data_root_dir=data_root_dir,
+            split=split,
+            camera_json=camera_json,
+            seed=seed,
+            **base_kwargs,
+        )
+        super().__init__(
+            num_gripper_points=num_gripper_points,
+            bogus_grasp_fraction=bogus_grasp_fraction,
+            seed=seed,
+            base=base,
+        )

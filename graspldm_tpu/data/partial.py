@@ -287,6 +287,15 @@ class AcronymPartialPointclouds:
             "metas": metas,
         }
 
+    def worker_copy(self, seed: int) -> "AcronymPartialPointclouds":
+        """Shallow copy with an independent RNG for one loader-worker
+        thread (see `AcronymShapenetPointclouds.worker_copy`)."""
+        import copy
+
+        c = copy.copy(self)
+        c._rng = np.random.default_rng(seed)
+        return c
+
     def batches(
         self, batch_size: int, *, shuffle: bool = True
     ) -> Iterator[Dict[str, np.ndarray]]:

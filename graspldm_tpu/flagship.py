@@ -64,6 +64,10 @@ def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
         pc_num_points=cfg.pc_num_points,
         pc_scale_channels=cfg.pc_scale_channels,
         pc_scale_voxel_resolution=cfg.pc_scale_voxel_resolution,
+        # the decoder is on the generation hot path next to the denoiser —
+        # both declare the same compute dtype so the kernel fast paths
+        # (stacked_pallas / fast_decoder) pack at the declared precision
+        decoder_dtype=cfg.denoiser_dtype,
     )
     if cfg.conditioning == "class":
         from .models.conditioning import ClassConditionedGraspLatentDDM

@@ -47,6 +47,13 @@ def _make_decode_fn(vae, vae_variables, impl: str = "auto"):
             if qualifies and jax.default_backend() not in ("cpu",)
             else "flax"
         )
+    if impl == "pallas" and not qualifies:
+        raise ValueError(
+            "decoder_impl='pallas' supports GraspCVAE with an intermediate "
+            "feature resolution of 4 or 16; got "
+            f"{type(vae).__name__} / resolution "
+            f"{getattr(vae, 'intermediate_feature_resolution', None)!r}"
+        )
     if impl == "pallas":
         from ..models.fast_decoder import (
             decoder_dims_for,
@@ -54,8 +61,16 @@ def _make_decode_fn(vae, vae_variables, impl: str = "auto"):
             pack_decoder_weights,
         )
 
+        # compute precision follows the model's declared decoder dtype
+        # (GraspCVAE.decoder_dtype), matching the denoiser path below —
+        # an fp32-trained decoder is not silently downcast
+        dtype = (
+            jnp.bfloat16
+            if getattr(vae, "decoder_dtype", None) == jnp.bfloat16
+            else jnp.float32
+        )
         dims = decoder_dims_for(vae)
-        w = pack_decoder_weights(vae_variables, dims, dtype=jnp.bfloat16)
+        w = pack_decoder_weights(vae_variables, dims, dtype=dtype)
 
         def decode(z_h, z_pc_rep):
             return decoder_fast_apply(w, z_h, z_pc_rep, dims)

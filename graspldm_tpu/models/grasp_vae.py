@@ -61,6 +61,7 @@ class _ConditionalCore(nn.Module):
     groups: int
     dropout: Optional[float]
     out_features: Optional[int]  # None: return core output [B, R]
+    dtype: object = None  # compute dtype of the ResNet core (params fp32)
 
     @nn.compact
     def __call__(
@@ -76,6 +77,7 @@ class _ConditionalCore(nn.Module):
             input_conditioning_dims=self.cond_dims,
             resnet_block_groups=self.groups,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="net",
         )(x, z_cond=cond, deterministic=deterministic)
         x = x.squeeze(-1)  # [B, R]
@@ -106,6 +108,10 @@ class GraspCVAE(nn.Module):
     pc_scale_voxel_resolution: float = 0.75
     pc_num_blocks: Sequence[int] = (1, 1, 1, 1)
     pc_use_global_attention: bool = False
+    # declared compute dtype of the DECODER core — the generation hot path.
+    # None = fp32. The kernel fast path (`models/fast_decoder.py`) packs its
+    # weights in this dtype, so flax and kernel decodes agree on precision.
+    decoder_dtype: object = None
 
     @property
     def use_qualities(self) -> bool:
@@ -139,6 +145,7 @@ class GraspCVAE(nn.Module):
             groups=self.resnet_block_groups,
             dropout=self.dropout,
             out_features=None,
+            dtype=self.decoder_dtype,
         )
         self.head_tmrp = nn.Dense(6, name="head_tmrp")
         self.head_class = nn.Dense(1, name="head_class")

@@ -6,6 +6,7 @@ from .mesh import (
     shard_batch,
 )
 from .prefetch import prefetch_to_device
+from .workers import BatchWorkerPool
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "shard_batch",
     "replicate",
     "prefetch_to_device",
+    "BatchWorkerPool",
 ]

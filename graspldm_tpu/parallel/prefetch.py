@@ -36,6 +36,17 @@ def prefetch_to_device(
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
+        if jax.process_count() > 1:
+            # multi-host: this process's batch is its LOCAL slice of the
+            # global batch (see parallel/distributed.py)
+            import numpy as np
+
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     queue: collections.deque = collections.deque()

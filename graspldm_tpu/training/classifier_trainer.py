@@ -34,7 +34,11 @@ class GraspClassificationTrainer:
         scale_voxel_resolution: float = 0.75,
         log_every: int = 100,
         ckpt_every: int = 1000,
+        logger_cfg: Optional[dict] = None,
     ):
+        from .loggers import build_logger
+
+        self.logger = build_logger(logger_cfg, experiment.log_dir)
         self.experiment = experiment
         self.model = PointsBasedGraspClassifier(
             num_pc_points=num_pc_points,
@@ -82,15 +86,18 @@ class GraspClassificationTrainer:
             self._step_fn = jax.jit(
                 make_classifier_train_step(self.model, self.tx), donate_argnums=0
             )
+        # host-side step counter: synced once on entry (resume-aware), then
+        # counted locally so the loop never blocks on the device per step
+        step = int(state.step)
         for batch in batches:
-            if int(state.step) >= max_steps:
+            if step >= max_steps:
                 break
             dev = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = self._step_fn(state, dev, rng)
-            step = int(state.step)
+            step += 1
             if step % self.log_every == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
-                self.experiment.log_metrics(step, m)
+                self.logger.log(step, m)
                 print(f"[classifier] step {step}: " +
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()))
             if step % self.ckpt_every == 0 or step >= max_steps:

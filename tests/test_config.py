@@ -90,3 +90,77 @@ class TestRegistry:
         assert "RandomRotation" in AUGMENTATIONS
         assert "VAELatentLoss" in LOSSES
         assert "GraspReconstructionLoss" in LOSSES
+
+
+class TestTemplateVarsAndOverrides:
+    def test_predefined_template_vars(self, tmp_path):
+        """`{{ fileDirname }}`-style substitution before execution
+        (reference `utils/config.py:107-127`)."""
+        p = tmp_path / "tmpl_cfg.py"
+        p.write_text(
+            'root_data_dir = "{{ fileDirname }}/data"\n'
+            'exp = "{{fileBasenameNoExtension}}"\n'
+            'full = "{{ fileBasename }}"\n'
+            'ext = "{{ fileExtname }}"\n'
+        )
+        cfg = Config.fromfile(str(p))
+        assert cfg.root_data_dir == str(tmp_path) + "/data"
+        assert cfg.exp == "tmpl_cfg"
+        assert cfg.full == "tmpl_cfg.py"
+        assert cfg.ext == ".py"
+
+    def test_template_vars_in_base(self, tmp_path):
+        (tmp_path / "base.py").write_text('data_dir = "{{ fileDirname }}"\n')
+        (tmp_path / "child.py").write_text('_base_ = "base.py"\nx = 1\n')
+        cfg = Config.fromfile(str(tmp_path / "child.py"))
+        assert cfg.data_dir == str(tmp_path)
+        assert cfg.x == 1
+
+    def test_merge_from_dict_dotted(self):
+        from graspldm_tpu.config import merge_from_dict
+
+        cfg = ConfigDict(
+            dict(
+                optimizer=dict(initial_lr=1e-3, grad_clip=0.5),
+                trainer=dict(ema=dict(beta=0.99)),
+            )
+        )
+        out = merge_from_dict(
+            cfg,
+            {"optimizer.initial_lr": 5e-4, "trainer.ema.beta": 0.995,
+             "trainer.new_key": 7},
+        )
+        assert out.optimizer.initial_lr == 5e-4
+        assert out.optimizer.grad_clip == 0.5  # untouched siblings survive
+        assert out.trainer.ema.beta == 0.995
+        assert out.trainer.new_key == 7
+        assert cfg.optimizer.initial_lr == 1e-3  # source not mutated
+
+    def test_merge_from_dict_list_index(self):
+        from graspldm_tpu.config import merge_from_dict
+
+        cfg = ConfigDict(
+            dict(pipeline=[dict(type="A"), dict(type="B", k=1)])
+        )
+        out = merge_from_dict(cfg, {"pipeline.0.type": "C"})
+        assert out.pipeline[0]["type"] == "C"
+        assert out.pipeline[1] == dict(type="B", k=1)
+        with pytest.raises(KeyError):
+            merge_from_dict(cfg, {"pipeline.5.type": "X"})
+
+    def test_parse_cfg_options(self):
+        from graspldm_tpu.config import parse_cfg_options
+
+        opts = parse_cfg_options(
+            ["a.b=5e-4", "c=true", "d=none", "e=1,2,3", "f=hello",
+             "g=[1, 2]", "h='x,y'"]
+        )
+        assert opts["a.b"] == 5e-4
+        assert opts["c"] is True
+        assert opts["d"] is None
+        assert opts["e"] == [1, 2, 3]
+        assert opts["f"] == "hello"
+        assert opts["g"] == [1, 2]
+        assert opts["h"] == "x,y"
+        with pytest.raises(ValueError):
+            parse_cfg_options(["novalue"])

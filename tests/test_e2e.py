@@ -124,6 +124,59 @@ def test_two_stage_train_and_generate(tmp_path):
     np.testing.assert_allclose(dets, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_partial_classifier_dataset_and_training(tmp_path):
+    """Classifier training on PARTIAL (depth-camera) pointclouds — the
+    reference's AcronymPartialPcGraspPointsClassification
+    (`acronym_grasp_points.py:377-448`), previously a coverage gap (the
+    classifier could only train on the full-pc wrap)."""
+    from graspldm_tpu.data import AcronymPartialGraspPointsDataset
+    from graspldm_tpu.data.synthetic import make_synthetic_partial_scenes
+    from graspldm_tpu.training.classifier_trainer import (
+        GraspClassificationTrainer,
+    )
+    from graspldm_tpu.training.experiment import Experiment
+
+    root = str(tmp_path / "partial")
+    make_synthetic_partial_scenes(
+        root, num_scenes=2, cams_per_scene=1, grasps_per_scene=16
+    )
+    ds = AcronymPartialGraspPointsDataset(
+        root,
+        split="train",
+        batch_num_points_per_pc=64,
+        batch_num_grasps_per_pc=4,
+        bogus_grasp_fraction=0.5,  # exercise the bogus-negative path
+        min_usable_pc_points=64,
+        num_repeat_dataset=2,
+    )
+    item = ds[0]
+    assert item["pc"].shape == (64, 3)
+    G, P = item["grasp_points"].shape[:2]
+    assert P == 76
+    assert item["labels"].shape == (G,)
+    assert G == 4 + 2  # 4 annotated + int(0.5 * 4) bogus negatives
+    assert np.isfinite(item["grasp_points"]).all()
+    # bogus negatives carry label 0
+    assert (item["labels"] == 0).sum() >= 2
+
+    exp = Experiment(str(tmp_path / "out"), "ppc_clf", "classifier")
+    trainer = GraspClassificationTrainer(
+        experiment=exp, num_pc_points=64, scale_voxel_resolution=0.25,
+        log_every=2, ckpt_every=2,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), next(ds.batches(2)))
+
+    def batches():
+        while True:
+            yield from ds.batches(2)
+
+    state = trainer.fit(state, batches(), 4, jax.random.PRNGKey(1))
+    assert int(state.step) == 4
+    m = trainer.evaluate(state, [next(ds.batches(2))])
+    assert all(np.isfinite(v) for v in m.values())
+
+
 CLF_CONFIG_TEXT = """
 max_steps = 6
 batch_size = 2

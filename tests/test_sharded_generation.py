@@ -92,6 +92,50 @@ def test_sharded_ldm_matches_per_shard_runs(mesh, models):
         )
 
 
+def test_sharded_ldm_runtime_per_object_meta(mesh, models):
+    """Per-object NormalizationMeta is a CALL-time argument sharded over
+    the data axis: each chip unnormalizes with its own objects' stats
+    (build-time meta is replicated, so it must be unbatched)."""
+    from graspldm_tpu.utils.normalization import normalize_pc_and_grasps
+
+    vae, ddm, diffusion, vae_vars, ddm_vars, pc, G = models
+    key = jax.random.PRNGKey(11)
+    n = mesh.shape["data"]
+    B = pc.shape[0]
+    # distinct per-object centers -> distinct per-object meta
+    raw = pc + jnp.arange(B, dtype=pc.dtype)[:, None, None]
+    pc_n, _, meta = normalize_pc_and_grasps(
+        raw, jnp.zeros((B, 1, 6), pc.dtype)
+    )
+
+    run = make_sharded_ldm_generate(
+        mesh, vae, ddm, diffusion, num_grasps=G, num_inference_steps=3,
+        sampler="ddim", denoiser_impl="flax",
+    )
+    out = run(vae_vars, ddm_vars, pc_n, key, meta=meta)
+
+    shard = B // n
+    i = 3
+    want = ldm_generate(
+        vae, vae_vars, ddm, ddm_vars, diffusion,
+        pc_n[i * shard : (i + 1) * shard], G,
+        jax.random.fold_in(key, i),
+        num_inference_steps=3, sampler="ddim", denoiser_impl="flax",
+        meta=jax.tree.map(lambda l: l[i * shard : (i + 1) * shard], meta),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["grasp_tmrp"][i * shard : (i + 1) * shard]),
+        np.asarray(want["grasp_tmrp"]),
+        atol=2e-5, rtol=2e-5,
+    )
+
+    # batched meta at BUILD time is rejected with a pointer to the runtime path
+    with pytest.raises(ValueError, match="call time"):
+        make_sharded_ldm_generate(
+            mesh, vae, ddm, diffusion, num_grasps=G, meta=meta
+        )
+
+
 def test_sharded_vae_matches_per_shard_runs(mesh, models):
     vae, _, _, vae_vars, _, pc, G = models
     key = jax.random.PRNGKey(7)

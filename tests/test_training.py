@@ -283,3 +283,61 @@ class TestConfigDrivenLosses:
             state.params, new_state.params,
         )
         assert max(jax.tree.leaves(moved)) > 0.0
+
+
+class TestInTrainingEval:
+    @pytest.mark.slow
+    def test_eval_hook_logs_and_drives_best_checkpoint(self, tmp_path):
+        """Periodic generation eval inside training (VERDICT r2 #6): eval_
+        metrics land in metrics.jsonl and `best` is checkpointed on the
+        eval score, not the train loss."""
+        from graspldm_tpu.data import (
+            AcronymShapenetPointclouds,
+            make_synthetic_acronym,
+        )
+        from graspldm_tpu.training.eval_hook import make_generation_eval_fn
+        from graspldm_tpu.training.experiment import Experiment
+        from graspldm_tpu.training.trainer import GraspGenerationTrainer
+
+        root = make_synthetic_acronym(str(tmp_path / "acr"))
+        ds = AcronymShapenetPointclouds(
+            data_root_dir=root, split="train", batch_num_points_per_pc=32,
+            batch_num_grasps_per_pc=4, min_num_grasps=4, num_repeat_dataset=4,
+        )
+        cfg = FlagshipConfig(
+            pc_num_points=32, pc_latent_size=8, pc_latent_channels=3,
+            grasp_latent_size=4, block_channels=(8, 16),
+            resnet_block_groups=4, dropout=None, pc_scale_channels=0.25,
+            pc_scale_voxel_resolution=0.25, diffusion_timesteps=50,
+        )
+        exp = Experiment(str(tmp_path / "out"), "eval_hook", "vae")
+        trainer = GraspGenerationTrainer(
+            experiment=exp, model_cfg=cfg, stage="vae",
+            log_every=1, ckpt_every=2, eval_every=2,
+        )
+        eval_fn = make_generation_eval_fn(
+            trainer, ds, [0, 1], num_grasps=8, num_inference_steps=3,
+        )
+        state = trainer.init_state(
+            jax.random.PRNGKey(0), next(ds.batches(2))
+        )
+
+        def batches():
+            while True:
+                yield from ds.batches(2)
+
+        trainer.fit(state, batches(), 4, jax.random.PRNGKey(1),
+                    eval_fn=eval_fn)
+
+        import json
+
+        recs = [
+            json.loads(line)
+            for line in open(os.path.join(exp.log_dir, "metrics.jsonl"))
+        ]
+        eval_recs = [r for r in recs if "eval_score" in r]
+        # eval_every=2 over 4 steps -> evals at steps 2 and 4
+        assert [r["step"] for r in eval_recs] == [2, 4]
+        assert all("eval_coverage" in r for r in eval_recs)
+        assert os.path.exists(exp.checkpoint_path("best"))
+        assert os.path.exists(exp.checkpoint_path("last"))

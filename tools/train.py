@@ -36,11 +36,35 @@ def parse_args():
     p.add_argument("--out-root", type=str, default="output")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--deterministic", action="store_true")
+    p.add_argument(
+        "--cfg-options", nargs="+", default=None, metavar="KEY=VALUE",
+        help="dotted config overrides merged after loading, e.g. "
+        "optimizer.initial_lr=5e-4 trainer.ema.beta=0.995 "
+        "(reference Config.merge_from_dict)",
+    )
+    # multi-host (multi-process) training: the reference's num_nodes/DDP
+    # (`trainers/trainer.py:43,204-224`). On TPU pods --distributed alone
+    # auto-configures; CPU/GPU clusters pass the coordinator explicitly.
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize before training")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port (implies --distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.distributed or args.coordinator or args.num_processes:
+        from graspldm_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        print(
+            f"[distributed] process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.local_device_count()} local / "
+            f"{jax.device_count()} global devices"
+        )
     import graspldm_tpu.data  # registers datasets
     from graspldm_tpu.config import DATASETS, Config, build_from_cfg
     from graspldm_tpu.flagship import FlagshipConfig
@@ -50,6 +74,10 @@ def main():
     from graspldm_tpu.training.registry import get_trainer
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        from graspldm_tpu.config import merge_from_dict, parse_cfg_options
+
+        cfg = merge_from_dict(cfg, parse_cfg_options(args.cfg_options))
     exp_name = os.path.splitext(os.path.basename(args.config))[0]
 
     batch_size = args.batch_size or cfg.get("batch_size", 10)
@@ -67,7 +95,16 @@ def main():
         # (reference `trainers/__init__.py:12-53` dispatch +
         # `grasp_classification_trainer.py:27-216`)
         ds_cfg = dict(cfg.get_path("data.classifier", {}) or {})
-        ds_cfg.setdefault("type", "AcronymGraspPointsDataset")
+        # default classifier wrap follows the experiment's pc modality:
+        # partial-pc configs get the partial classifier dataset (reference
+        # `acronym_grasp_points.py:275,377` full/partial pair)
+        train_type = str(cfg.get_path("data.train.type", ""))
+        ds_cfg.setdefault(
+            "type",
+            "AcronymPartialGraspPointsDataset"
+            if "Partial" in train_type
+            else "AcronymGraspPointsDataset",
+        )
         ds_cfg.setdefault("args", dict(cfg.get_path("data.train.args", {}) or {}))
         ds_cfg["args"].pop("augs_config", None)
         if data_root:
@@ -82,6 +119,7 @@ def main():
                 "classifier.scale_voxel_resolution", 0.75
             ),
             log_every=trainer_cfg.get("log_every_n_steps", 100),
+            logger_cfg=trainer_cfg.get("logger"),
         )
         example = next(dataset.batches(batch_size))
         state = trainer.init_state(rng, example)
@@ -104,6 +142,12 @@ def main():
         ds_cfg.setdefault("args", {})
         ds_cfg["args"]["data_root_dir"] = data_root
     dataset = build_from_cfg(ds_cfg, DATASETS)
+    if jax.process_count() > 1:
+        # per-host data loading: each process keeps only its record slice
+        # and its batches are LOCAL slices of the global batch
+        from graspldm_tpu.parallel.distributed import shard_dataset_records
+
+        shard_dataset_records(dataset)
 
     ema_args = trainer_cfg.get("ema", {"beta": 0.990, "update_after_step": 1000})
     trainer = get_trainer(args.model)(
@@ -124,6 +168,8 @@ def main():
         ),
         mesh=make_mesh(),
         log_every=trainer_cfg.get("log_every_n_steps", 100),
+        logger_cfg=trainer_cfg.get("logger"),
+        eval_every=int(trainer_cfg.get("eval_every", 0)),
     )
 
     example = next(dataset.batches(batch_size))
@@ -134,26 +180,65 @@ def main():
     if args.model in ("ddm", "elucidated_ddm"):
         frozen_vae = trainer.load_frozen_vae(rng, example)
 
-    def infinite_batches():
+    def _train_fields(b):
+        out = {k: b[k] for k in ("pc", "grasps")}
+        metas = b.get("metas") or {}
+        # per-object grasp stats ride along for losses that
+        # unnormalize (GraspControlPointsReconstructionLoss)
+        if "grasp_mean" in metas:
+            out["grasp_mean"] = metas["grasp_mean"]
+            out["grasp_std"] = metas["grasp_std"]
+        # region conditioning metas for region-conditioned denoisers
+        if "region_points" in metas:
+            out["region_points"] = metas["region_points"]
+            out["grasp_region_labels"] = metas["grasp_region_labels"]
+        return out
+
+    def make_iter(wid: int, n: int):
+        # each worker thread gets its own RNG (and shares the mesh cache);
+        # with one worker the dataset is used as-is
+        ds = dataset if n == 1 else dataset.worker_copy(seed * 1009 + wid)
         while True:
-            for b in dataset.batches(batch_size):
-                out = {k: b[k] for k in ("pc", "grasps")}
-                metas = b.get("metas") or {}
-                # per-object grasp stats ride along for losses that
-                # unnormalize (GraspControlPointsReconstructionLoss)
-                if "grasp_mean" in metas:
-                    out["grasp_mean"] = metas["grasp_mean"]
-                    out["grasp_std"] = metas["grasp_std"]
-                # region conditioning metas for region-conditioned denoisers
-                if "region_points" in metas:
-                    out["region_points"] = metas["region_points"]
-                    out["grasp_region_labels"] = metas["grasp_region_labels"]
-                yield out
+            for b in ds.batches(batch_size):
+                yield _train_fields(b)
 
-    from graspldm_tpu.parallel import prefetch_to_device
+    # periodic in-training generation eval (reference has none — its val
+    # loop is a stub; see training/eval_hook.py)
+    eval_fn = None
+    if trainer.eval_every:
+        from graspldm_tpu.training.eval_hook import make_generation_eval_fn
 
-    batches = prefetch_to_device(infinite_batches(), size=2, mesh=trainer.mesh)
-    trainer.fit(state, batches, max_steps, rng, frozen_vae)
+        eval_cfg = dict(trainer_cfg.get("eval", {}) or {})
+        eval_ds = dataset
+        split = eval_cfg.get("split")
+        if split:
+            try:
+                e_cfg = {
+                    "type": ds_cfg["type"],
+                    "args": {**ds_cfg.get("args", {}), "split": split},
+                }
+                eval_ds = build_from_cfg(e_cfg, DATASETS)
+            except Exception as e:  # fall back to held-out train items
+                print(f"[eval] {split} split unavailable ({e}); "
+                      "evaluating on train items")
+        k = min(int(eval_cfg.get("num_objects", 8)), len(eval_ds))
+        eval_fn = make_generation_eval_fn(
+            trainer, eval_ds, list(range(k)),
+            num_grasps=int(eval_cfg.get("num_grasps", 64)),
+            num_inference_steps=int(eval_cfg.get("num_steps", 25)),
+            coverage_tau=float(eval_cfg.get("coverage_tau", 0.02)),
+        )
+
+    from graspldm_tpu.parallel import BatchWorkerPool, prefetch_to_device
+
+    # full input pipeline: worker threads assemble host batches ahead of
+    # the consumer (reference DataLoader num_workers), then a 2-deep
+    # non-blocking device_put double-buffer hides the transfer
+    num_workers = int(trainer_cfg.get("num_workers", 1))
+    with BatchWorkerPool(make_iter, num_workers=num_workers) as pool:
+        batches = prefetch_to_device(pool, size=2, mesh=trainer.mesh)
+        trainer.fit(state, batches, max_steps, rng, frozen_vae,
+                    eval_fn=eval_fn)
 
 
 if __name__ == "__main__":
