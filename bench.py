@@ -146,11 +146,24 @@ def main():
     details_path = (
         "BENCH_DETAILS.json" if variant == "fpc" else f"BENCH_{variant.upper()}.json"
     )
+    # the sharded-program measurement is opt-in (second full compile);
+    # when skipped, carry the last measured value forward — labeled — so a
+    # default re-run doesn't null out a real measurement
+    sharded_carried = False
+    if sharded_gps is None and os.path.exists(details_path):
+        try:
+            with open(details_path) as f:
+                prev = json.load(f)
+            sharded_gps = prev.get("sharded_program_grasps_per_sec_local_mesh")
+            sharded_carried = sharded_gps is not None
+        except (ValueError, OSError):
+            pass
     with open(details_path, "w") as f:
         json.dump(
             {
                 "grasps_per_sec_per_chip_100_ddim_steps": round(grasps_per_sec, 1),
                 "sharded_program_grasps_per_sec_local_mesh": sharded_gps,
+                "sharded_program_carried_forward": sharded_carried,
                 "n_local_devices": jax.device_count(),
                 "vae_samples_per_sec": round(vae_samples_per_sec, 1),
                 "p50_latency_per_object_ms_amortized": round(

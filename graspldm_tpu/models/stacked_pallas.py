@@ -43,6 +43,22 @@ Attention uses the exact ``(q k^T) v`` reassociation from
 so the bilinear product reassociates): the per-row context tensor never
 materializes.
 
+GENERIC L: at L=16 (the partial-pc z16 flagship and every VAE decoder
+core) the layout decisions flip — see `_use_sliced` (per-position
+exact-FLOP convs at Cin >= 128), `_conv_group` (pair-sliced convs at
+Cin = 64), per-GROUP qkv projections (g = 128/C block-diag, up to 8x
+fewer FLOPs than the full block-diag) and per-position out-projections
+(hd = 128 is lane-aligned). Measured L=16 chain at BG=8192 bf16:
+round-2 kernels 9.58 -> 8.17 ms/step; per-stage 1.27 / 1.52 / 1.85 /
+2.60 / 1.71, of which the attention-free kernel bodies are only
+0.21 / 0.39 / 0.65 / 1.37 / 1.74 — the in-kernel attention (~1.1-1.3
+ms/stage, dominated by the L^3-scaling score pooling + its serial VPU
+work) is the known wall. Measured alternatives, all REJECTED: attention
+in XLA between kernel launches (einsum 3.98 / ctx-association 3.92 /
+pooling-form 5.63 ms/stage — every XLA form round-trips [BG, L*H*D]
+through HBM; the hybrid chain was 18.5 ms/step; see `XLA_ATTENTION` and
+tools/bench_attn.py) and slice-wise mloop products (8.33 vs 8.17).
+
 Numerically equal to ``GraspLatentDDM.apply`` within bf16 tolerance
 (interpret-mode parity test in tests/test_fused_denoiser.py).
 """
@@ -93,9 +109,67 @@ def _use_sliced(L: int, Cin: int) -> bool:
     return L > 4 and Cin >= 128
 
 
+def _conv_group(L: int, Cin: int) -> int:
+    """Positions per GROUP-sliced conv window (0 = dense banded).
+
+    Lane alignment needs slice offsets at multiples of 128 columns, so
+    narrow stages can't use per-position slices. Grouping g = 128/Cin
+    positions restores alignment: ``out_group_j = x_pad[(j-1)g : (j+2)g] @
+    W_g`` costs g x the exact conv FLOPs (vs L/k x for dense banded).
+    Worth it only while g x exact < dense, i.e. g < L/k — at L=16 that is
+    g = 2 (Cin = 64), where it cuts the conv cost 2.6x. Narrower stages
+    (g >= 4) stay dense banded: their absolute conv cost is tiny and the
+    grouped form would not beat it.
+    """
+    if L > 4 and Cin == 64:
+        return 2
+    return 0
+
+
+# Attention placement experiment flag — MEASURED AND REJECTED as default.
+# True routes L>4 attention to XLA between kernel launches
+# (`stacked_denoiser._attention_stacked`). v5e measurements at BG=8192
+# bf16, L=16, 20-step chain: XLA einsum 3.98 ms/stage, XLA ctx
+# association 3.92, XLA mloop-pooling 5.63 (tools/bench_attn.py — all
+# HBM/layout-bound: every formulation streams multi-pass [BG, L*H*D]
+# intermediates), vs ~1.2 ms/stage for the VMEM-resident in-kernel score
+# pooling. The hybrid chain measured 18.5 ms/step vs 9.6 all-kernel.
+XLA_ATTENTION = False
+
+
+def _use_xla_attention(dims: DenoiserDims) -> bool:
+    """Attention placement: in-kernel (default) or XLA between kernels.
+
+    The in-kernel score path (`_attention_k`) batches the per-key-position
+    inner products as one-hot pooling matmuls on [R, L*H*D] VMEM operands;
+    its cost scales ~L^3 (~1.2 ms/stage at L=16) but every XLA
+    formulation measured 3-5x worse (see `XLA_ATTENTION`), because the
+    kernels keep the activations in VMEM while XLA round-trips them
+    through HBM for each of its ~10 unfused passes.
+    """
+    return XLA_ATTENTION and dims.seq_len > 4
+
+
 # ---------------------------------------------------------------------------
 # pack-time auxiliary matrices (one-hot pooling / broadcast)
 # ---------------------------------------------------------------------------
+
+
+def _group_band_matrix(w_taps: jax.Array, g: int) -> jax.Array:
+    """k-tap conv ``[k, Cin, Cout]`` -> window matrix ``[3*g*Cin, g*Cout]``
+    for GROUP-sliced convs (`_conv_group`): output group j consumes the
+    3-group input window ``x_pad[(j-1)g : (j+2)g]``. Rows for window
+    positions outside each output position's k-tap reach stay zero."""
+    k, cin, cout = w_taps.shape
+    half = k // 2
+    W = jnp.zeros((3 * g * cin, g * cout), w_taps.dtype)
+    for p in range(g):  # output position within the group
+        for tap in range(k):
+            src = g + p + tap - half  # window-relative input position
+            W = W.at[
+                src * cin : (src + 1) * cin, p * cout : (p + 1) * cout
+            ].set(w_taps[tap])
+    return W
 
 
 def _gn_pool_matrices(L: int, C: int, groups: int):
@@ -159,9 +233,19 @@ def pack_pallas_weights(
     put("init_W", w["init_W"])
     put("init_b", w["init_b"])
 
+    def put_conv(name, raw_key, Cin):
+        """Pack a k-tap conv in its cheapest lane-aligned form."""
+        if _use_sliced(L, Cin):
+            taps = wraw[raw_key]  # [k, Cin, Cout]
+            put(f"{name}_W3", taps.reshape(-1, taps.shape[-1]))
+        elif _conv_group(L, Cin):
+            put(f"{name}_W3g",
+                _group_band_matrix(wraw[raw_key], _conv_group(L, Cin)))
+        else:
+            put(f"{name}_W", w[f"{name}_W"])
+
     def pack_resblock(prefix, C):
         gn_pool, gn_bcast = _gn_pool_matrices(L, C, dims.groups)
-        sliced = _use_sliced(L, C)
         # FiLM mlp tiled to full width: ss_full [R, 2*L*C]
         mw, mb = w[f"{prefix}_mlp_w"], w[f"{prefix}_mlp_b"]
         put(f"{prefix}_mlpW",
@@ -170,12 +254,7 @@ def pack_pallas_weights(
         put(f"{prefix}_mlpb",
             jnp.concatenate([jnp.tile(mb[:C], L), jnp.tile(mb[C:], L)]))
         for blk in ("block1", "block2"):
-            if sliced:
-                taps = wraw[f"{prefix}_{blk}_w"]  # [k, Cin, Cout]
-                put(f"{prefix}_{blk}_W3",
-                    taps.reshape(-1, taps.shape[-1]))
-            else:
-                put(f"{prefix}_{blk}_W", w[f"{prefix}_{blk}_W"])
+            put_conv(f"{prefix}_{blk}", f"{prefix}_{blk}_w", C)
             put(f"{prefix}_{blk}_b", w[f"{prefix}_{blk}_b"])
             # affine gain folded into the stat-broadcast matrix: the kernel
             # computes x * (inv @ bcs) - (mu*inv) @ bcs + shift
@@ -183,8 +262,11 @@ def pack_pallas_weights(
                 gn_bcast * w[f"{prefix}_{blk}_scale"][None, :])
             put(f"{prefix}_{blk}_shift", w[f"{prefix}_{blk}_shift"])
         if f"{prefix}_res_W" in w:
-            if sliced:
+            if _use_sliced(L, C):
                 put(f"{prefix}_res_Wc", wraw[f"{prefix}_res_w"])
+            elif _conv_group(L, C):
+                put(f"{prefix}_res_Wg",
+                    _block_diag(wraw[f"{prefix}_res_w"], _conv_group(L, C)))
             else:
                 put(f"{prefix}_res_W", w[f"{prefix}_res_W"])
             put(f"{prefix}_res_b", w[f"{prefix}_res_b"])
@@ -195,36 +277,55 @@ def pack_pallas_weights(
     chans = list(dims.block_channels)
     dim0 = w["init_W"].shape[1] // L
     cins = [dim0] + chans[:-1]
+    xla_attn = _use_xla_attention(dims)
     for i, C in enumerate(cins):
         pack_resblock(f"b{i}r1", C)
         pack_resblock(f"b{i}r2", C)
-        # attention: block-diagonal q/k/v [L*C, L*hd] + out [L*hd, L*C],
-        # or compact per-position [C, hd] when the block-diag waste (L x)
-        # is prohibitive
-        qkv = w[f"b{i}_qkv_w"]  # [C, 3*hd]
         hd = H * D
-        if _use_sliced(L, C):
-            put(f"b{i}_Wq_c", qkv[:, :hd])
-            put(f"b{i}_Wk_c", qkv[:, hd : 2 * hd])
-            put(f"b{i}_Wv_c", qkv[:, 2 * hd :])
-            put(f"b{i}_Wo_c", w[f"b{i}_attn_out_w"])
+        if xla_attn:
+            # attention runs in XLA between the stage kernels: keep the
+            # transpose-free interleaved einsum weights built by
+            # `pack_stacked_weights` (consumed by `_attention_stacked`)
+            for k in (f"b{i}_Wq", f"b{i}_Wk", f"b{i}_Wv", f"b{i}_Wo",
+                      f"b{i}_Wo_b", f"b{i}_norm_g_t", f"b{i}_out_g_t"):
+                put(k, w[k])
         else:
-            put(f"b{i}_Wq", _block_diag(qkv[:, :hd], L))
-            put(f"b{i}_Wk", _block_diag(qkv[:, hd : 2 * hd], L))
-            put(f"b{i}_Wv", _block_diag(qkv[:, 2 * hd :], L))
-            put(f"b{i}_Wo", _block_diag(w[f"b{i}_attn_out_w"], L))
-        put(f"b{i}_Wo_b", jnp.tile(w[f"b{i}_attn_out_b"], L))
-        # per-position LN gains folded into the broadcast matrices
-        _, pos_bcast = _pos_pool_matrices(L, C)
-        put(f"b{i}_normA",
-            pos_bcast * jnp.tile(w[f"b{i}_attn_norm_g"], L)[None, :])
-        put(f"b{i}_outA",
-            pos_bcast * jnp.tile(w[f"b{i}_attn_out_g"], L)[None, :])
-        if _use_sliced(L, C):
-            taps = wraw[f"b{i}_proj_w"]
-            put(f"b{i}_proj_W3", taps.reshape(-1, taps.shape[-1]))
-        else:
-            put(f"b{i}_proj_W", w[f"b{i}_proj_W"])
+            # in-kernel attention projections, cheapest lane-aligned form:
+            #   * per-position [C, hd] when C itself is lane-aligned
+            #     (C >= 128): exact FLOPs;
+            #   * per-GROUP block-diag [g*C, g*hd] with g = 128/C for
+            #     narrow stages at L > 4: g x exact (vs L x for the full
+            #     block-diag — 8x cheaper at C=64);
+            #   * full block-diagonal [L*C, L*hd] at L=4, where one
+            #     full-lane launch beats L tiny ones.
+            # The out-projection is per-position [hd, C] whenever
+            # hd = H*D is lane-aligned (default hd=128): exact FLOPs.
+            qkv = w[f"b{i}_qkv_w"]  # [C, 3*hd]
+            g_att = max(1, 128 // C) if L > 4 else 1
+            if L > 4 and C % 128 == 0:
+                put(f"b{i}_Wq_c", qkv[:, :hd])
+                put(f"b{i}_Wk_c", qkv[:, hd : 2 * hd])
+                put(f"b{i}_Wv_c", qkv[:, 2 * hd :])
+            elif g_att > 1 and L % g_att == 0:
+                put(f"b{i}_Wq_g", _block_diag(qkv[:, :hd], g_att))
+                put(f"b{i}_Wk_g", _block_diag(qkv[:, hd : 2 * hd], g_att))
+                put(f"b{i}_Wv_g", _block_diag(qkv[:, 2 * hd :], g_att))
+            else:
+                put(f"b{i}_Wq", _block_diag(qkv[:, :hd], L))
+                put(f"b{i}_Wk", _block_diag(qkv[:, hd : 2 * hd], L))
+                put(f"b{i}_Wv", _block_diag(qkv[:, 2 * hd :], L))
+            if L > 4 and (H * D) % 128 == 0:
+                put(f"b{i}_Wo_c", w[f"b{i}_attn_out_w"])
+            else:
+                put(f"b{i}_Wo", _block_diag(w[f"b{i}_attn_out_w"], L))
+            put(f"b{i}_Wo_b", jnp.tile(w[f"b{i}_attn_out_b"], L))
+            # per-position LN gains folded into the broadcast matrices
+            _, pos_bcast = _pos_pool_matrices(L, C)
+            put(f"b{i}_normA",
+                pos_bcast * jnp.tile(w[f"b{i}_attn_norm_g"], L)[None, :])
+            put(f"b{i}_outA",
+                pos_bcast * jnp.tile(w[f"b{i}_attn_out_g"], L)[None, :])
+        put_conv(f"b{i}_proj", f"b{i}_proj_w", C)
         put(f"b{i}_proj_b", w[f"b{i}_proj_b"])
     pack_resblock("final", chans[-1])
     put("final_W", w["final_W"])
@@ -235,15 +336,18 @@ def pack_pallas_weights(
     for C in sorted(set(cins + [chans[-1]])):
         p, _ = _gn_pool_matrices(L, C, dims.groups)
         out[f"gnpool_{C}"] = p
-        pp, _ = _pos_pool_matrices(L, C)
-        out[f"pospool_{C}"] = pp
-    qp, qb = _head_pool_matrices(L, H, D)
-    out["qpool"], out["qbcast"] = qp, qb
-    put("qpool_c", qp)   # compute-dtype copies for the score path
-    put("qbcast_c", qb)
-    # L^2-pair pooling for the "pairs" attention strategy
-    put("qpool_p", _block_diag(qp, L))
-    put("qbcast_p", _block_diag(qb, L))
+        if not xla_attn:
+            pp, _ = _pos_pool_matrices(L, C)
+            out[f"pospool_{C}"] = pp
+    if not xla_attn:
+        qp, qb = _head_pool_matrices(L, H, D)
+        out["qpool"], out["qbcast"] = qp, qb
+        put("qpool_c", qp)   # compute-dtype copies for the score path
+        put("qbcast_c", qb)
+        if ATTN_IMPL == "pairs":
+            # L^2-pair pooling for the "pairs" attention strategy
+            put("qpool_p", _block_diag(qp, L))
+            put("qbcast_p", _block_diag(qb, L))
     return out
 
 
@@ -301,10 +405,26 @@ def _conv3_k(x, g, name, L, Cin, dtype):
 
     Dense block-banded matmul when ``{name}_W`` is packed; exact-FLOP
     SLICED form (zero-pad + per-position [R, k*Cin] @ [k*Cin, Cout]) when
-    ``{name}_W3`` is packed (L > 4, lane-aligned Cin).
+    ``{name}_W3`` is packed (L > 4, lane-aligned Cin); GROUP-sliced window
+    form (`_group_band_matrix`, 3-group window per g-position output
+    group) when ``{name}_W3g`` is packed (L > 4, Cin = 64).
     """
     if f"{name}_W" in g:
         return _mmd(x, g[f"{name}_W"], dtype) + g[f"{name}_b"]
+    if f"{name}_W3g" in g:
+        Wg = g[f"{name}_W3g"]
+        gcin = Wg.shape[0] // 3  # group width in columns (128-aligned)
+        n_groups = x.shape[1] // gcin
+        z = jnp.zeros((x.shape[0], gcin), x.dtype)
+        xp = jnp.concatenate([z, x, z], axis=-1)
+        out = jnp.concatenate(
+            [
+                _mmf(xp[:, j * gcin : (j + 3) * gcin], Wg)
+                for j in range(n_groups)
+            ],
+            axis=-1,
+        )
+        return out.astype(dtype) + g[f"{name}_b"]
     W3 = g[f"{name}_W3"]
     k = W3.shape[0] // Cin
     half = k // 2
@@ -351,6 +471,13 @@ def _resblock_k(x, emb_s, g, prefix, L, C, cond_channels):
             _dense_per_l_k(x, g[f"{prefix}_res_Wc"], L, C, x.dtype)
             + g[f"{prefix}_res_b"]
         )
+    elif f"{prefix}_res_Wg" in g:
+        Wg = g[f"{prefix}_res_Wg"]  # group block-diag [g*Cin, g*Cout]
+        gcin = Wg.shape[0]
+        x = (
+            _dense_per_l_k(x, Wg, x.shape[1] // gcin, gcin, x.dtype)
+            + g[f"{prefix}_res_b"]
+        )
     return h + x
 
 
@@ -370,6 +497,12 @@ def _attention_k(x, g, i, L, C, H, D):
         q = _dense_per_l_k(normed, g[f"b{i}_Wq_c"], L, C)
         k = _dense_per_l_k(normed, g[f"b{i}_Wk_c"], L, C)
         v = _dense_per_l_k(normed, g[f"b{i}_Wv_c"], L, C, x.dtype)
+    elif f"b{i}_Wq_g" in g:
+        gC = g[f"b{i}_Wq_g"].shape[0]  # group width (128-aligned)
+        ng = (L * C) // gC
+        q = _dense_per_l_k(normed, g[f"b{i}_Wq_g"], ng, gC)
+        k = _dense_per_l_k(normed, g[f"b{i}_Wk_g"], ng, gC)
+        v = _dense_per_l_k(normed, g[f"b{i}_Wv_g"], ng, gC, x.dtype)
     else:
         q = _mmf(normed, g[f"b{i}_Wq"])  # [R, L*hd] fp32
         k = _mmf(normed, g[f"b{i}_Wk"])
@@ -409,6 +542,10 @@ def _attention_k(x, g, i, L, C, H, D):
             jnp.add, [terms[:, m * w : (m + 1) * w] for m in range(L)]
         )
     else:  # "mloop": one pooling-matmul pair per key position m
+        # (a slice-wise-product variant that builds the q*k_m / sb*v_m
+        # tensors block-by-block from lane-aligned hd slices — avoiding
+        # the two tile materializations — measured 8.33 vs 8.17 ms for
+        # the L=16 chain: the concat writes cost as much as the tiles)
         out = None
         for m in range(L):
             km = _tile_block(kn, m, hd, L)                   # [R, L*hd]
@@ -532,37 +669,47 @@ def _final_kernel(names, dims, C, *refs):
         out_ref[rows, :] = _mmd(x, g["final_W"], x.dtype) + g["final_b"]
 
 
+def _conv_key(w, name):
+    for suffix in ("_W", "_W3", "_W3g"):
+        if f"{name}{suffix}" in w:
+            return f"{name}{suffix}"
+    raise KeyError(f"no packed conv for {name!r}")
+
+
+def _res_names(w, prefix):
+    names = [f"{prefix}_mlpW", f"{prefix}_mlpb"]
+    for blk in ("block1", "block2"):
+        names += [_conv_key(w, f"{prefix}_{blk}"), f"{prefix}_{blk}_b",
+                  f"{prefix}_{blk}_bcs", f"{prefix}_{blk}_shift"]
+    for suffix in ("_res_W", "_res_Wc", "_res_Wg"):
+        if f"{prefix}{suffix}" in w:
+            names += [f"{prefix}{suffix}", f"{prefix}_res_b"]
+            break
+    return names
+
+
 def _stage_weight_names(w, stage_i, dims, C, final=False):
     names = []
     prefixes = ("final",) if final else (f"b{stage_i}r1", f"b{stage_i}r2")
     for p in prefixes:
-        names += [f"{p}_mlpW", f"{p}_mlpb"]
-        for blk in ("block1", "block2"):
-            wkey = (
-                f"{p}_{blk}_W" if f"{p}_{blk}_W" in w else f"{p}_{blk}_W3"
-            )
-            names += [wkey, f"{p}_{blk}_b",
-                      f"{p}_{blk}_bcs", f"{p}_{blk}_shift"]
-        if f"{p}_res_W" in w:
-            names += [f"{p}_res_W", f"{p}_res_b"]
-        elif f"{p}_res_Wc" in w:
-            names += [f"{p}_res_Wc", f"{p}_res_b"]
+        names += _res_names(w, p)
     names += [f"gnpool_{C}"]
     if final:
         names += ["final_W", "final_b"]
     else:
-        suff = "_c" if f"b{stage_i}_Wq_c" in w else ""
-        projk = (
-            f"b{stage_i}_proj_W" if f"b{stage_i}_proj_W" in w
-            else f"b{stage_i}_proj_W3"
+        suff = (
+            "_c" if f"b{stage_i}_Wq_c" in w
+            else "_g" if f"b{stage_i}_Wq_g" in w
+            else ""
         )
+        wo = f"b{stage_i}_Wo_c" if f"b{stage_i}_Wo_c" in w else f"b{stage_i}_Wo"
         names += [
             f"b{stage_i}_Wq{suff}", f"b{stage_i}_Wk{suff}",
             f"b{stage_i}_Wv{suff}",
-            f"b{stage_i}_Wo{suff}", f"b{stage_i}_Wo_b",
+            wo, f"b{stage_i}_Wo_b",
             f"b{stage_i}_normA", f"b{stage_i}_outA",
             f"pospool_{C}", "qpool", "qbcast",
-            projk, f"b{stage_i}_proj_b",
+            _conv_key(w, f"b{stage_i}_proj"), f"b{stage_i}_proj_b",
         ]
         if ATTN_IMPL == "pairs":
             names += ["qpool_p", "qbcast_p"]
@@ -571,19 +718,97 @@ def _stage_weight_names(w, stage_i, dims, C, final=False):
     return names
 
 
+# ---------------------------------------------------------------------------
+# hybrid stages (L > 4): kernels carry convs/FiLM/GN/SiLU, attention in XLA
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_weight_names(w, stage_i, dims, C, final=False):
+    names = []
+    j = (len(dims.block_channels) - 1) if final else stage_i - 1
+    if j >= 0:  # the PREVIOUS stage's channel-change proj opens this kernel
+        names += [_conv_key(w, f"b{j}_proj"), f"b{j}_proj_b"]
+    for p in (("final",) if final else (f"b{stage_i}r1", f"b{stage_i}r2")):
+        names += _res_names(w, p)
+    names += [f"gnpool_{C}"]
+    if final:
+        names += ["final_W", "final_b"]
+    return names
+
+
+def _hybrid_stage_kernel(names, dims, stage_i, C_prev, C, *refs):
+    """[proj_{i-1} (i > 0)] + resblock x2 — attention follows in XLA."""
+    x_ref, emb_ref = refs[0], refs[1]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[2:-1])}
+    L = dims.seq_len
+    x = x_ref[...]
+    emb = emb_ref[...]
+    if stage_i > 0:
+        x = _conv3_k(x, g, f"b{stage_i - 1}_proj", L, C_prev, x.dtype)
+    x = _resblock_k(x, emb, g, f"b{stage_i}r1", L, C, dims.cond_channels)
+    x = _resblock_k(x, emb, g, f"b{stage_i}r2", L, C, dims.cond_channels)
+    out_ref[...] = x
+
+
+def _hybrid_final_kernel(names, dims, n_stages, C_prev, C, *refs):
+    """proj_{n-1} + final resblock + head."""
+    x_ref, emb_ref = refs[0], refs[1]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[2:-1])}
+    L = dims.seq_len
+    x = x_ref[...]
+    emb = emb_ref[...]
+    x = _conv3_k(x, g, f"b{n_stages - 1}_proj", L, C_prev, x.dtype)
+    x = _resblock_k(x, emb, g, "final", L, C, dims.cond_channels)
+    out_ref[...] = _mmd(x, g["final_W"], x.dtype) + g["final_b"]
+
+
 def _run_stage(w, x, emb_s, dims, stage_i, final, block_rows, interpret):
     R = block_rows
     BG = x.shape[0]
     assert BG % R == 0
     n_chunks = BG // R
     L = dims.seq_len
+    C_in = x.shape[1] // L
+    if _use_xla_attention(dims):
+        # hybrid kernel: [prev proj] + resblock x2 (+ final head); the
+        # input width is the PRE-proj width of the previous stage
+        if final:
+            C = dims.block_channels[-1]
+            names = _hybrid_weight_names(w, 0, dims, C, final=True)
+            kernel = functools.partial(
+                _hybrid_final_kernel, names, dims,
+                len(dims.block_channels), C_in, C,
+            )
+            out_cols = L
+        else:
+            C = C_in if stage_i == 0 else dims.block_channels[stage_i - 1]
+            names = _hybrid_weight_names(w, stage_i, dims, C, final=False)
+            kernel = functools.partial(
+                _hybrid_stage_kernel, names, dims, stage_i, C_in, C,
+            )
+            out_cols = L * C
+        return _launch_stage(
+            kernel, [w[n] for n in names], x, emb_s, R, n_chunks, out_cols,
+            interpret,
+        )
     # resblocks + attention run at the incoming width C_in; the proj conv
     # at the stage's end maps to L * block_channels[stage_i].
-    C_in = x.shape[1] // L
     names = _stage_weight_names(w, stage_i, dims, C_in, final=final)
     arrays = [w[n] for n in names]
     out_cols = L if final else L * dims.block_channels[stage_i]
+    kernel = (
+        functools.partial(_final_kernel, names, dims, C_in)
+        if final
+        else functools.partial(_stage_kernel, names, dims, stage_i, C_in)
+    )
+    return _launch_stage(
+        kernel, arrays, x, emb_s, R, n_chunks, out_cols, interpret
+    )
 
+
+def _launch_stage(kernel, arrays, x, emb_s, R, n_chunks, out_cols, interpret):
     in_specs = [
         pl.BlockSpec((R, x.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -596,18 +821,13 @@ def _run_stage(w, x, emb_s, dims, stage_i, final, block_rows, interpret):
             pl.BlockSpec(a.shape, (lambda i, _nd=nd: (0,) * _nd),
                          memory_space=pltpu.VMEM)
         )
-    kernel = (
-        functools.partial(_final_kernel, names, dims, C_in)
-        if final
-        else functools.partial(_stage_kernel, names, dims, stage_i, C_in)
-    )
     return pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((R, out_cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BG, out_cols), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((R * n_chunks, out_cols), x.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -623,7 +843,7 @@ def stacked_denoiser_pallas_apply(
     dims: DenoiserDims = FLAGSHIP_DIMS,
     block_rows: int = 512,
     interpret: bool = False,
-    fuse_stages: bool = False,
+    fuse_stages="auto",
     input_emb: Optional[jax.Array] = None,
     extra_emb: Optional[jax.Array] = None,
 ) -> jax.Array:
@@ -640,15 +860,22 @@ def stacked_denoiser_pallas_apply(
             unless the caller already folded it into ``input_emb`` — the
             kernels cannot detect a missing fold themselves.
         fuse_stages: run the WHOLE network in one kernel launch instead of
-            one kernel per stage. Measured a wash on v5e (1.58-1.72 ms/step
-            fused vs 1.58-1.61 per-stage at BG=8192 bf16, identical
-            outputs): the chain is compute-bound inside the kernels, not on
-            inter-stage HBM round-trips. Kept for R/topology experiments.
+            one kernel per stage. At large BG this is a measured wash on
+            v5e (1.58-1.72 ms/step fused vs 1.58-1.61 per-stage at BG=8192
+            bf16, identical outputs): the chain is compute-bound inside
+            the kernels there. At SMALL BG the per-launch dispatch
+            overhead dominates (the serving-latency regime: B=1 objects),
+            so "auto" fuses when the batch fills at most two row blocks
+            (BG <= 2 * block_rows) at L = 4.
     """
     in_dtype = x.dtype
     dtype = w["init_W"].dtype
     L = dims.seq_len
     BG = x.shape[0]
+    if fuse_stages == "auto":
+        fuse_stages = L <= 4 and BG <= 2 * (
+            block_rows if isinstance(block_rows, int) else max(block_rows)
+        )
     # Per-stage timing at BG=8192/R=512 (dummy-chain harness, includes
     # ~0.07 ms harness overhead each): stage0 0.23 / stage1 0.23 /
     # stage2 0.32 / stage3 0.62 / final 0.46 ms; matmul-only floors
@@ -680,7 +907,20 @@ def stacked_denoiser_pallas_apply(
     # input width of stage i is L * C_{i-1}; stage 0 consumes the init width.
     dim0 = w["init_W"].shape[1] // L
     cins = [dim0] + list(dims.block_channels[:-1])
-    if fuse_stages:
+    if _use_xla_attention(dims):
+        if fuse_stages:
+            raise ValueError(
+                "fuse_stages is unsupported for L > 4 (hybrid XLA-attention "
+                "path; see _use_xla_attention)"
+            )
+        # kernel_i = [proj_{i-1}] + res1 + res2; attention between launches
+        from .stacked_denoiser import _attention_stacked
+
+        for i in range(len(dims.block_channels)):
+            X = _run_stage(w, X, emb_s, dims, i, False, rs[i], interpret)
+            X = _attention_stacked(X, w, i, dims)
+        X = _run_stage(w, X, emb_s, dims, 0, True, rs[-1], interpret)
+    elif fuse_stages:
         X = _run_full(w, X, emb_s, dims, cins, rs[-1], interpret)
     else:
         for i in range(len(dims.block_channels)):
