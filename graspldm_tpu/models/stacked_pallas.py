@@ -843,7 +843,7 @@ def stacked_denoiser_pallas_apply(
     dims: DenoiserDims = FLAGSHIP_DIMS,
     block_rows: int = 512,
     interpret: bool = False,
-    fuse_stages="auto",
+    fuse_stages: bool = False,
     input_emb: Optional[jax.Array] = None,
     extra_emb: Optional[jax.Array] = None,
 ) -> jax.Array:
@@ -860,22 +860,18 @@ def stacked_denoiser_pallas_apply(
             unless the caller already folded it into ``input_emb`` — the
             kernels cannot detect a missing fold themselves.
         fuse_stages: run the WHOLE network in one kernel launch instead of
-            one kernel per stage. At large BG this is a measured wash on
+            one kernel per stage. Measured a wash-to-loss everywhere on
             v5e (1.58-1.72 ms/step fused vs 1.58-1.61 per-stage at BG=8192
-            bf16, identical outputs): the chain is compute-bound inside
-            the kernels there. At SMALL BG the per-launch dispatch
-            overhead dominates (the serving-latency regime: B=1 objects),
-            so "auto" fuses when the batch fills at most two row blocks
-            (BG <= 2 * block_rows) at L = 4.
+            bf16; single-object p50 60.4 fused vs 56.5 per-stage at
+            BG=1024), so the default stays per-stage; kept for
+            R/topology experiments. The BG=1024 denoiser chain itself is
+            0.295 ms/step — the B=1 serving latency is dominated by the
+            pc ENCODE, not the sampler.
     """
     in_dtype = x.dtype
     dtype = w["init_W"].dtype
     L = dims.seq_len
     BG = x.shape[0]
-    if fuse_stages == "auto":
-        fuse_stages = L <= 4 and BG <= 2 * (
-            block_rows if isinstance(block_rows, int) else max(block_rows)
-        )
     # Per-stage timing at BG=8192/R=512 (dummy-chain harness, includes
     # ~0.07 ms harness overhead each): stage0 0.23 / stage1 0.23 /
     # stage2 0.32 / stage3 0.62 / final 0.46 ms; matmul-only floors
