@@ -91,6 +91,13 @@ class GraspGenerationTrainer:
             scheduler=opt.get("scheduler"),
             grad_clip=opt.get("grad_clip", 0.5),
         )
+        # logged next to the losses (the reference's LearningRateMonitor,
+        # `grasp_generation_trainer.py:169`)
+        from .optim import build_lr_schedule
+
+        self._lr_schedule = build_lr_schedule(
+            opt.get("initial_lr", 1e-3), opt.get("scheduler")
+        )
         self.ema_cfg = ema_cfg
         self.vae_loss_cfg = vae_loss_cfg or VAELossConfig()
         self._step_fn = None
@@ -244,6 +251,7 @@ class GraspGenerationTrainer:
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 metrics["steps_per_sec"] = self.log_every / max(dt, 1e-9)
+                metrics["lr"] = float(self._lr_schedule(step))
                 if "loss" in metrics:
                     window_losses.append(metrics["loss"])
                 if is_main:

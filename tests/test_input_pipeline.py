@@ -96,3 +96,51 @@ def test_dataset_worker_copy_independent_rng(tmp_path):
     # same seed -> reproducible
     ia2 = ds.worker_copy(1)[0]
     np.testing.assert_array_equal(ia["pc"], ia2["pc"])
+
+
+def test_shard_dataset_records(tmp_path):
+    """Per-process record slicing (the DistributedSampler half of the
+    multi-host story): strided, disjoint, exhaustive."""
+    from graspldm_tpu.data import (
+        AcronymShapenetPointclouds,
+        make_synthetic_acronym,
+    )
+    from graspldm_tpu.parallel.distributed import shard_dataset_records
+
+    root = make_synthetic_acronym(str(tmp_path / "acronym"))
+
+    def build():
+        return AcronymShapenetPointclouds(
+            data_root_dir=root, split="train", batch_num_points_per_pc=32,
+            batch_num_grasps_per_pc=4, min_num_grasps=4,
+            num_repeat_dataset=1,
+        )
+
+    full = build()
+    n_total = len(full.objects)
+    assert n_total >= 2
+    all_keys = [o.mesh_path for o in full.objects]
+    shards = []
+    for pid in range(2):
+        ds = shard_dataset_records(build(), process_id=pid, num_processes=2)
+        keys = [o.mesh_path for o in ds.objects]
+        assert keys == all_keys[pid::2]  # exact strided slice
+        shards.append(keys)
+    # disjoint and exhaustive over the full record list
+    assert not set(shards[0]) & set(shards[1])
+    assert sorted(shards[0] + shards[1]) == sorted(all_keys)
+
+    # single process: untouched
+    ds = shard_dataset_records(build(), process_id=0, num_processes=1)
+    assert len(ds.objects) == n_total
+
+    # classifier wrapper shards through .base
+    from graspldm_tpu.data import AcronymGraspPointsDataset
+
+    clf = AcronymGraspPointsDataset(base=build())
+    shard_dataset_records(clf, process_id=1, num_processes=2)
+    assert len(clf.base.objects) == n_total - (n_total + 1) // 2
+
+    with pytest.raises(ValueError):
+        shard_dataset_records(build(), process_id=0,
+                              num_processes=n_total + 1)

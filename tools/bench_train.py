@@ -30,6 +30,9 @@ def main():
     p.add_argument("--grasps", type=int, default=100)
     p.add_argument("--points", type=int, default=1024)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--loop", action="store_true",
+                   help="also run the full host loop (dataset -> workers -> "
+                   "prefetch -> trainer.fit) on the synthetic fixture")
     args = p.parse_args()
 
     from graspldm_tpu.flagship import FlagshipConfig, build_flagship
@@ -92,9 +95,99 @@ def main():
     results["ddm_steps_per_sec"] = round(1.0 / dt, 2)
     results["ddm_ms_per_step"] = round(dt * 1e3, 2)
 
+    if args.loop:
+        results.update(bench_host_loop(args))
+
     print(json.dumps(results, indent=1))
     with open("TRAIN_BENCH.json", "w") as f:
         json.dump(results, f, indent=1)
+
+
+def bench_host_loop(args):
+    """Full host training loop (dataset -> worker pool -> prefetch ->
+    trainer.fit) on the synthetic fixture, vs the pure jitted-step rate.
+
+    On a many-core host the loop rate should approach the jitted rate
+    (batch assembly hides behind the device step); this host has ONE core,
+    so the producer itself bounds the loop — the bench records both so the
+    gap is attributable.
+    """
+    import tempfile
+    import jax as _jax
+    import numpy as np
+
+    from graspldm_tpu.data import AcronymShapenetPointclouds, make_synthetic_acronym
+    from graspldm_tpu.flagship import FlagshipConfig
+    from graspldm_tpu.parallel import BatchWorkerPool, prefetch_to_device
+    from graspldm_tpu.training.experiment import Experiment
+    from graspldm_tpu.training.trainer import GraspGenerationTrainer
+
+    tmp = tempfile.mkdtemp(prefix="bench_train_")
+    root = make_synthetic_acronym(os.path.join(tmp, "acr"))
+    ds = AcronymShapenetPointclouds(
+        data_root_dir=root, split="train",
+        batch_num_points_per_pc=args.points,
+        batch_num_grasps_per_pc=args.grasps,
+        min_num_grasps=4, num_repeat_dataset=50,
+    )
+    cfg = FlagshipConfig()
+    exp = Experiment(os.path.join(tmp, "out"), "bench", "vae")
+    trainer = GraspGenerationTrainer(
+        experiment=exp, model_cfg=cfg, stage="vae",
+        log_every=20, ckpt_every=10_000,
+    )
+    state = trainer.init_state(
+        _jax.random.PRNGKey(0), next(ds.batches(args.batch_size))
+    )
+
+    def make_iter(wid, n):
+        d = ds if n == 1 else ds.worker_copy(wid)
+        while True:
+            for b in d.batches(args.batch_size):
+                yield {"pc": b["pc"], "grasps": b["grasps"]}
+
+    # warm-up fit: compiles the trainer's own step trace outside the timing
+    with BatchWorkerPool(make_iter, num_workers=1) as pool:
+        state = trainer.fit(
+            state, prefetch_to_device(pool, size=2), int(state.step) + 2,
+            _jax.random.PRNGKey(1),
+        )
+
+    # rate source: the trainer's own inter-log windows (metrics.jsonl),
+    # which exclude the end-of-fit checkpoint save — wall-clock over the
+    # whole fit() would bill one full Orbax save against the steps
+    def logged_rates():
+        path = os.path.join(exp.log_dir, "metrics.jsonl")
+        with open(path) as f:
+            return [
+                json.loads(line)["steps_per_sec"]
+                for line in f
+                if "steps_per_sec" in line
+            ]
+
+    out = {}
+    for workers in (1, 2):
+        seen = len(logged_rates())
+        with BatchWorkerPool(make_iter, num_workers=workers) as pool:
+            batches = prefetch_to_device(pool, size=2)
+            state = trainer.fit(
+                state, batches, int(state.step) + 100,
+                _jax.random.PRNGKey(1),
+            )
+        rates = logged_rates()[seen:]
+        rates = [r for r in rates if r < 1e6][1:]  # drop the step-1 record
+        out[f"vae_loop_steps_per_sec_{workers}w"] = round(
+            float(np.mean(rates)), 2
+        )
+    # producer-only rate: how fast the host can assemble batches at all
+    t0 = time.perf_counter()
+    n = 0
+    for b in ds.batches(args.batch_size):
+        n += 1
+        if n >= 30:
+            break
+    out["host_batches_per_sec"] = round(n / (time.perf_counter() - t0), 2)
+    return out
 
 
 if __name__ == "__main__":
