@@ -44,12 +44,50 @@ def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 - 2.0 * cross + b2, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_neighbors",))
+# Above this many live fp32 elements for the [B, M, N, 3] diff tensor,
+# ball_query switches to the M-blocked formulation (64M elems = 256 MB).
+_BALL_QUERY_BLOCK_THRESHOLD = 64 * 1024 * 1024
+
+
+def _ball_query_block(
+    centers: jax.Array, points: jax.Array, radius: float, U: int
+) -> jax.Array:
+    """Dense ball-query body for one M-block: ``centers [B, Mb, 3]``."""
+    B, Mb, _ = centers.shape
+    N = points.shape[1]
+
+    # Exact per-pair distances (not the matmul expansion): the radius
+    # comparison is discrete, so the expansion's rounding error would flip
+    # borderline inclusions vs the CUDA kernel's direct computation.
+    diff = centers[:, :, None, :] - points[:, None, :, :]  # [B, Mb, N, 3]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [B, Mb, N]
+    mask = d2 < (radius * radius)
+
+    # Key: masked entries keep their index (ascending order), unmasked pushed
+    # past N. A full sort is O(N log N) on the VPU but N=1024 is tiny.
+    idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, None, :], (B, Mb, N)
+    )
+    key = jnp.where(mask, idx, jnp.int32(N))
+    sorted_key = jnp.sort(key, axis=-1)[..., :U]  # [B, Mb, U]
+
+    count = jnp.sum(mask, axis=-1, keepdims=True)  # [B, Mb, 1]
+    first = jnp.where(count > 0, sorted_key[..., :1], 0)  # [B, Mb, 1]
+    slot = jnp.broadcast_to(
+        jnp.arange(U, dtype=jnp.int32)[None, None, :], (B, Mb, U)
+    )
+    out = jnp.where(slot < count, sorted_key, first)
+    # Any remaining out-of-range sentinel (count==0) became `first`=0 already.
+    return out.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_neighbors", "block_size"))
 def ball_query(
     centers: jax.Array,
     points: jax.Array,
     radius: float,
     num_neighbors: int,
+    block_size: int | None = None,
 ) -> jax.Array:
     """Indices of up to U points within ``radius`` of each center.
 
@@ -57,9 +95,17 @@ def ball_query(
     order; if fewer than U are found the remaining slots repeat the FIRST
     found index; if none are found the slots are 0.
 
+    Peak memory is bounded: when the dense ``[B, M, N, 3]`` diff tensor
+    would exceed ~256 MB the M axis is processed in blocks (a sequential
+    ``lax.map`` over M-blocks, each block fully vectorized), so large
+    clouds don't OOM. Results are bit-identical to the dense path — the
+    selection is independent per center.
+
     Args:
         centers: ``[B, M, 3]``.
         points: ``[B, N, 3]``.
+        block_size: M-block length; ``None`` auto-selects (dense below the
+            threshold). Static under jit.
     Returns:
         ``[B, M, U]`` int32 indices into the N axis.
     """
@@ -67,29 +113,23 @@ def ball_query(
     N = points.shape[1]
     U = num_neighbors
 
-    # Exact per-pair distances (not the matmul expansion): the radius
-    # comparison is discrete, so the expansion's rounding error would flip
-    # borderline inclusions vs the CUDA kernel's direct computation.
-    diff = centers[:, :, None, :] - points[:, None, :, :]  # [B, M, N, 3]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [B, M, N]
-    mask = d2 < (radius * radius)
+    if block_size is None:
+        if B * M * N * 3 <= _BALL_QUERY_BLOCK_THRESHOLD:
+            return _ball_query_block(centers, points, radius, U)
+        # Largest power-of-two block that fits the threshold, >= 1.
+        block_size = max(1, _BALL_QUERY_BLOCK_THRESHOLD // (B * N * 3))
+        block_size = 1 << (block_size.bit_length() - 1)
+    if block_size >= M:
+        return _ball_query_block(centers, points, radius, U)
 
-    # Key: masked entries keep their index (ascending order), unmasked pushed
-    # past N. A full sort is O(N log N) on the VPU but N=1024 is tiny.
-    idx = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[None, None, :], (B, M, N)
-    )
-    key = jnp.where(mask, idx, jnp.int32(N))
-    sorted_key = jnp.sort(key, axis=-1)[..., :U]  # [B, M, U]
-
-    count = jnp.sum(mask, axis=-1, keepdims=True)  # [B, M, 1]
-    first = jnp.where(count > 0, sorted_key[..., :1], 0)  # [B, M, 1]
-    slot = jnp.broadcast_to(
-        jnp.arange(U, dtype=jnp.int32)[None, None, :], (B, M, U)
-    )
-    out = jnp.where(slot < count, sorted_key, first)
-    # Any remaining out-of-range sentinel (count==0) became `first`=0 already.
-    return out.astype(jnp.int32)
+    pad = (-M) % block_size
+    padded = jnp.pad(centers, ((0, 0), (0, pad), (0, 0)))
+    blocks = padded.reshape(B, -1, block_size, 3).swapaxes(0, 1)
+    out = jax.lax.map(
+        lambda c: _ball_query_block(c, points, radius, U), blocks
+    )  # [nblocks, B, block, U]
+    out = out.swapaxes(0, 1).reshape(B, -1, U)
+    return out[:, :M]
 
 
 def group_points(features: jax.Array, indices: jax.Array) -> jax.Array:

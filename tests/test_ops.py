@@ -137,6 +137,48 @@ class TestBallQuery:
         )
         np.testing.assert_array_equal(got, 0)
 
+    def test_blocked_matches_dense(self):
+        """M-blocked path (bounded peak memory) is bit-identical to dense,
+        including an M not divisible by the block size."""
+        rng = np.random.default_rng(11)
+        points = rng.uniform(-1, 1, size=(2, 96, 3)).astype(np.float32)
+        centers = rng.uniform(-1, 1, size=(2, 37, 3)).astype(np.float32)
+        dense = np.asarray(
+            ops.ball_query(jnp.asarray(centers), jnp.asarray(points), 0.4, 6)
+        )
+        for block in (1, 8, 16, 37, 64):
+            blocked = np.asarray(
+                ops.ball_query(
+                    jnp.asarray(centers), jnp.asarray(points), 0.4, 6,
+                    block_size=block,
+                )
+            )
+            np.testing.assert_array_equal(blocked, dense)
+        np.testing.assert_array_equal(
+            dense, np_ball_query(centers, points, 0.4, 6)
+        )
+
+    def test_auto_block_threshold(self, monkeypatch):
+        """Above the element threshold, the auto path engages blocking and
+        still matches the dense result."""
+        from graspldm_tpu.ops import neighborhood as nb
+
+        rng = np.random.default_rng(12)
+        points = rng.uniform(-1, 1, size=(1, 64, 3)).astype(np.float32)
+        centers = rng.uniform(-1, 1, size=(1, 50, 3)).astype(np.float32)
+        dense = np.asarray(
+            nb._ball_query_block(
+                jnp.asarray(centers), jnp.asarray(points), 0.5, 4
+            )
+        )
+        monkeypatch.setattr(nb, "_BALL_QUERY_BLOCK_THRESHOLD", 64 * 3 * 16)
+        auto = np.asarray(
+            nb.ball_query.__wrapped__(  # bypass jit cache keyed on globals
+                jnp.asarray(centers), jnp.asarray(points), 0.5, 4, None
+            )
+        )
+        np.testing.assert_array_equal(auto, dense)
+
     def test_grouping(self):
         rng = np.random.default_rng(4)
         feats = rng.normal(size=(2, 64, 7)).astype(np.float32)
