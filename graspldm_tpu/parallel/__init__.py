@@ -5,7 +5,7 @@ from .mesh import (
     replicate,
     shard_batch,
 )
-from .prefetch import prefetch_to_device
+from .prefetch import prefetch_to_device, stack_batches
 from .workers import BatchWorkerPool
 
 __all__ = [
@@ -15,5 +15,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "prefetch_to_device",
+    "stack_batches",
     "BatchWorkerPool",
 ]

@@ -102,16 +102,19 @@ def shard_dataset_records(dataset, process_id: Optional[int] = None,
 
 
 def make_global_batch(
-    batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "data"
+    batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "data",
+    chunked: bool = False,
 ) -> Dict[str, jax.Array]:
     """Process-local numpy batch -> global jax.Arrays sharded over ``axis``.
 
     Every process contributes its local leading-axis slice; the global
     batch size is ``local_B * num_processes`` (per-process batch sizes,
     torch-DataLoader style). Single-process meshes take the plain
-    device_put path in the trainer instead.
+    device_put path in the trainer instead. ``chunked`` batches are
+    ``stack_batches`` chunks ``[K, local_B, ...]`` — the data axis is
+    axis 1.
     """
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(None, axis) if chunked else P(axis))
     return {
         k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
         for k, v in batch.items()

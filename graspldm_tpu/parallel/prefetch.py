@@ -13,9 +13,33 @@ import collections
 from typing import Any, Dict, Iterable, Iterator, Optional
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["prefetch_to_device"]
+__all__ = ["prefetch_to_device", "stack_batches"]
+
+
+def stack_batches(
+    batches: Iterable[Dict[str, Any]], steps: int
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Stack ``steps`` consecutive host batches along a new leading axis.
+
+    Feeds the K-steps-per-dispatch training path (the trainer's
+    ``steps_per_dispatch``): one stacked ``[K, ...]`` transfer + one
+    ``lax.scan`` dispatch per K steps amortizes per-call host->device RPC
+    latency, which dominates the loop when the chip sits behind a network
+    tunnel. An incomplete trailing chunk (finite iterators only) is
+    dropped — callers run whole chunks.
+    """
+    it = iter(batches)
+    while True:
+        chunk = []
+        try:
+            for _ in range(steps):
+                chunk.append(next(it))
+        except StopIteration:
+            return
+        yield {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
 
 
 def prefetch_to_device(
@@ -23,6 +47,7 @@ def prefetch_to_device(
     size: int = 2,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
+    chunked: bool = False,
 ) -> Iterator[Dict[str, Any]]:
     """Yield device-resident batches, keeping ``size`` transfers in flight.
 
@@ -30,8 +55,11 @@ def prefetch_to_device(
         batches: host (numpy) batch iterator.
         mesh: when given, arrays are placed with leading-axis sharding over
             ``axis``; otherwise committed to the default device.
+        chunked: batches are ``stack_batches`` chunks ``[K, B, ...]`` — the
+            data axis is axis 1, so the sharding spec is ``P(None, axis)``.
     """
-    sharding = NamedSharding(mesh, P(axis)) if mesh is not None else None
+    spec = P(None, axis) if chunked else P(axis)
+    sharding = NamedSharding(mesh, spec) if mesh is not None else None
 
     def put(batch):
         if sharding is None:

@@ -5,6 +5,7 @@ from .steps import (
     VAELossConfig,
     init_train_state,
     make_ddm_train_step,
+    make_chunked_step,
     make_vae_train_step,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "VAELossConfig",
     "init_train_state",
     "make_ddm_train_step",
+    "make_chunked_step",
     "make_vae_train_step",
 ]

@@ -35,7 +35,11 @@ class GraspClassificationTrainer:
         log_every: int = 100,
         ckpt_every: int = 1000,
         logger_cfg: Optional[dict] = None,
+        steps_per_dispatch: int = 1,
     ):
+        """``steps_per_dispatch`` > 1 scans K steps per device dispatch
+        over ``stack_batches`` chunks (see ``make_chunked_step``); safe
+        because the classifier step folds its RNG with ``state.step``."""
         from .loggers import build_logger
 
         self.logger = build_logger(logger_cfg, experiment.log_dir)
@@ -52,6 +56,7 @@ class GraspClassificationTrainer:
         )
         self.log_every = log_every
         self.ckpt_every = ckpt_every
+        self.steps_per_dispatch = steps_per_dispatch
         self._step_fn = None
 
     def maybe_resume(self, state: TrainState) -> TrainState:
@@ -83,24 +88,34 @@ class GraspClassificationTrainer:
         rng: jax.Array,
     ) -> TrainState:
         if self._step_fn is None:
-            self._step_fn = jax.jit(
-                make_classifier_train_step(self.model, self.tx), donate_argnums=0
-            )
+            fn = make_classifier_train_step(self.model, self.tx)
+            if self.steps_per_dispatch > 1:
+                from .steps import make_chunked_step
+
+                fn = make_chunked_step(fn)
+            self._step_fn = jax.jit(fn, donate_argnums=0)
         # host-side step counter: synced once on entry (resume-aware), then
-        # counted locally so the loop never blocks on the device per step
+        # counted locally so the loop never blocks on the device per step;
+        # with steps_per_dispatch=K each iteration advances K steps and
+        # log/ckpt fire on cadence-boundary crossings
+        K = self.steps_per_dispatch
         step = int(state.step)
         for batch in batches:
             if step >= max_steps:
                 break
             dev = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = self._step_fn(state, dev, rng)
-            step += 1
-            if step % self.log_every == 0 or step == 1:
+            prev = step
+            step += K
+            if step // self.log_every > prev // self.log_every or prev == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 self.logger.log(step, m)
                 print(f"[classifier] step {step}: " +
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()))
-            if step % self.ckpt_every == 0 or step >= max_steps:
+            if (
+                step // self.ckpt_every > prev // self.ckpt_every
+                or step >= max_steps
+            ):
                 save_checkpoint(self.experiment.checkpoint_path("last"), state)
         return state
 

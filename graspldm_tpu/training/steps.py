@@ -31,7 +31,32 @@ from .ema import EMAConfig, ema_update
 from .state import TrainState
 
 __all__ = ["VAELossConfig", "make_vae_train_step", "make_ddm_train_step",
-           "init_train_state"]
+           "make_chunked_step", "init_train_state"]
+
+
+def make_chunked_step(step_fn: Callable) -> Callable:
+    """Run K train steps in ONE device dispatch via ``lax.scan``.
+
+    Takes the same signature as the wrapped step but with every batch
+    array carrying a leading K axis (``stack_batches``); returns the
+    state after K steps and the per-metric MEAN over the chunk. Exact:
+    both step functions fold the RNG with ``state.step``, so scanned
+    steps draw the same randomness the host loop would. One dispatch +
+    one stacked transfer per K steps amortizes per-call host->device
+    RPC latency — the loop bottleneck when the chip sits behind a
+    network tunnel (TRAIN_BENCH: 29.8 steps/s host loop vs 169.9
+    jitted-step rate at K=1).
+    """
+
+    def chunk_fn(state, batches, rng, *extra):
+        def body(st, batch):
+            st, metrics = step_fn(st, batch, rng, *extra)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    return chunk_fn
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,8 +61,16 @@ class GraspGenerationTrainer:
         use_vae_ema_for_ddm: bool = True,
         logger_cfg: Optional[Dict[str, Any]] = None,
         eval_every: int = 0,
+        steps_per_dispatch: int = 1,
     ):
+        """``steps_per_dispatch`` > 1 runs K train steps per device
+        dispatch (``lax.scan`` over a stacked ``[K, ...]`` batch, see
+        :func:`make_chunked_step`); ``fit`` then expects ``stack_batches``
+        chunks. Amortizes per-dispatch host RPC latency — use when the
+        loop measures far below the jitted-step rate (remote-chip
+        tunnels)."""
         assert stage in ("vae", "ddm", "elucidated_ddm")
+        assert steps_per_dispatch >= 1
         if stage == "elucidated_ddm" and not model_cfg.elucidated:
             # the stage name implies the EDM diffusion process
             # (reference `tools/inference.py:472-477` / experiment modes)
@@ -76,6 +84,7 @@ class GraspGenerationTrainer:
         self.log_every = log_every
         self.ckpt_every = ckpt_every
         self.eval_every = eval_every
+        self.steps_per_dispatch = steps_per_dispatch
         self.use_vae_ema_for_ddm = use_vae_ema_for_ddm
         # config-selected metric logger (reference
         # `grasp_generation_trainer.py:175-201`); the JSONL fallback writes
@@ -159,15 +168,21 @@ class GraspGenerationTrainer:
             fn = make_vae_train_step(
                 self.vae, self.tx, self.vae_loss_cfg, self.ema_cfg
             )
-            return jax.jit(fn, donate_argnums=0)
-        fn = make_ddm_train_step(
-            self.vae, self.ddm, self.diffusion, self.tx, ema_cfg=self.ema_cfg
-        )
+        else:
+            fn = make_ddm_train_step(
+                self.vae, self.ddm, self.diffusion, self.tx,
+                ema_cfg=self.ema_cfg,
+            )
+        if self.steps_per_dispatch > 1:
+            from .steps import make_chunked_step
+
+            fn = make_chunked_step(fn)
         return jax.jit(fn, donate_argnums=0)
 
     def _place(self, state: TrainState, batch):
         if self.mesh is None:
             return state, batch
+        chunked = self.steps_per_dispatch > 1
         if jax.process_count() > 1:
             # multi-host: each process contributes its LOCAL batch slice;
             # skip if the prefetcher already assembled global arrays
@@ -175,8 +190,12 @@ class GraspGenerationTrainer:
                 return state, batch
             from ..parallel.distributed import make_global_batch
 
-            return state, make_global_batch(batch, self.mesh)
-        data = NamedSharding(self.mesh, P("data"))
+            return state, make_global_batch(
+                batch, self.mesh, chunked=chunked
+            )
+        data = NamedSharding(
+            self.mesh, P(None, "data") if chunked else P("data")
+        )
         batch = {
             k: jax.device_put(jnp.asarray(v), data) for k, v in batch.items()
         }
@@ -237,6 +256,18 @@ class GraspGenerationTrainer:
         # dispatch with device compute (VERDICT r2); sync once on entry
         # (resume-aware) and count locally — one step per iteration.
         step = int(state.step)
+        # K-steps-per-dispatch: each loop iteration advances K steps (the
+        # batch is a stacked [K, ...] chunk and the step fn scans it), so
+        # log/eval/ckpt fire on cadence-boundary CROSSINGS; the final
+        # chunk may overshoot max_steps by up to K-1 steps.
+        K = self.steps_per_dispatch
+        if K > 1 and (max_steps - step) % K and is_main:
+            print(
+                f"[{self.stage}] note: {max_steps - step} steps not a "
+                f"multiple of steps_per_dispatch={K}; the run will end at "
+                f"step {step + ((max_steps - step + K - 1) // K) * K}"
+            )
+        last_logged = step
         for batch in batches:
             if step >= max_steps:
                 break
@@ -245,12 +276,14 @@ class GraspGenerationTrainer:
                 state, metrics = self._step_fn(state, batch_dev, rng)
             else:
                 state, metrics = self._step_fn(state, batch_dev, rng, frozen_vae)
-            step += 1
-            if step % self.log_every == 0 or step == 1:
+            prev = step
+            step += K
+            if step // self.log_every > prev // self.log_every or prev == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
-                metrics["steps_per_sec"] = self.log_every / max(dt, 1e-9)
+                metrics["steps_per_sec"] = (step - last_logged) / max(dt, 1e-9)
+                last_logged = step
                 metrics["lr"] = float(self._lr_schedule(step))
                 if "loss" in metrics:
                     window_losses.append(metrics["loss"])
@@ -263,7 +296,10 @@ class GraspGenerationTrainer:
             if (
                 eval_fn is not None
                 and self.eval_every
-                and (step % self.eval_every == 0 or step >= max_steps)
+                and (
+                    step // self.eval_every > prev // self.eval_every
+                    or step >= max_steps
+                )
             ):
                 eval_metrics = eval_fn(state, frozen_vae)
                 if is_main:
@@ -286,7 +322,10 @@ class GraspGenerationTrainer:
                         self.experiment.checkpoint_path("best"), state
                     )
                 t_last = time.perf_counter()  # don't bill eval as steps
-            if step % self.ckpt_every == 0 or step >= max_steps:
+            if (
+                step // self.ckpt_every > prev // self.ckpt_every
+                or step >= max_steps
+            ):
                 save_checkpoint(self.experiment.checkpoint_path("last"), state)
                 # best-by-loss fallback (reference keeps top-k by `loss`,
                 # `grasp_generation_trainer.py:146-173`) on the WINDOW

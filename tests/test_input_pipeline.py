@@ -144,3 +144,24 @@ def test_shard_dataset_records(tmp_path):
     with pytest.raises(ValueError):
         shard_dataset_records(build(), process_id=0,
                               num_processes=n_total + 1)
+
+
+def test_stack_batches_chunks_and_drops_tail():
+    """stack_batches groups K consecutive batches into [K, ...] arrays and
+    drops an incomplete trailing chunk."""
+    import numpy as np
+
+    from graspldm_tpu.parallel import stack_batches
+
+    batches = [
+        {"pc": np.full((2, 4, 3), i, np.float32), "grasps": np.full((2, 3), i)}
+        for i in range(7)
+    ]
+    chunks = list(stack_batches(iter(batches), 3))
+    assert len(chunks) == 2  # 7 batches -> 2 full chunks, tail of 1 dropped
+    for j, c in enumerate(chunks):
+        assert c["pc"].shape == (3, 2, 4, 3)
+        assert c["grasps"].shape == (3, 2, 3)
+        np.testing.assert_array_equal(
+            c["pc"][:, 0, 0, 0], np.arange(3 * j, 3 * j + 3)
+        )

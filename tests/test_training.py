@@ -341,3 +341,124 @@ class TestInTrainingEval:
         assert all("eval_coverage" in r for r in eval_recs)
         assert os.path.exists(exp.checkpoint_path("best"))
         assert os.path.exists(exp.checkpoint_path("last"))
+
+
+class TestChunkedDispatch:
+    def test_chunked_step_matches_sequential(self, tiny_setup):
+        """K steps scanned in one dispatch (make_chunked_step) produce the
+        same state as K sequential dispatches: the step fn folds the RNG
+        with state.step, so the scan draws identical randomness."""
+        from graspldm_tpu.training import make_chunked_step
+
+        cfg, vae, ddm, diffusion, tx, batch, rng = tiny_setup
+        state0 = init_train_state(
+            vae, tx, rng,
+            (batch["pc"], batch["grasps"].reshape(-1, 7)), {"rng": rng},
+        )
+        step = make_vae_train_step(
+            vae, tx, VAELossConfig(), EMAConfig(update_every=1)
+        )
+        K = 3
+        keys = jax.random.split(jax.random.PRNGKey(7), K)
+        host_batches = [
+            {
+                "pc": jax.random.normal(keys[i], batch["pc"].shape),
+                "grasps": jax.random.normal(keys[i], batch["grasps"].shape),
+            }
+            for i in range(K)
+        ]
+
+        seq_step = jax.jit(step)
+        state_seq = state0
+        seq_losses = []
+        for b in host_batches:
+            state_seq, m = seq_step(state_seq, b, rng)
+            seq_losses.append(float(m["loss"]))
+
+        chunk_step = jax.jit(make_chunked_step(step))
+        stacked = {
+            k: jnp.stack([b[k] for b in host_batches])
+            for k in host_batches[0]
+        }
+        state_chunk, m_chunk = chunk_step(state0, stacked, rng)
+
+        assert int(state_chunk.step) == int(state_seq.step) == K
+        np.testing.assert_allclose(
+            float(m_chunk["loss"]), np.mean(seq_losses), rtol=1e-5
+        )
+        # the scan body and the standalone jit fuse differently; Adam's
+        # rsqrt(v) amplifies sub-ulp gradient differences to ~1e-4-level
+        # parameter deltas over K steps (measured max 3.3e-4) — allclose
+        # at 1e-3 separates that noise from any semantic divergence
+        for a, b in zip(
+            jax.tree.leaves(state_seq.params),
+            jax.tree.leaves(state_chunk.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3
+            )
+        for a, b in zip(
+            jax.tree.leaves(state_seq.ema_params),
+            jax.tree.leaves(state_chunk.ema_params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3
+            )
+
+    @pytest.mark.slow
+    def test_trainer_fit_chunked(self, tmp_path):
+        """trainer.fit with steps_per_dispatch=2 over stack_batches chunks:
+        step accounting, cadence-crossing logging, and checkpoints all
+        line up with the K=1 semantics."""
+        import json
+
+        from graspldm_tpu.data import (
+            AcronymShapenetPointclouds,
+            make_synthetic_acronym,
+        )
+        from graspldm_tpu.parallel import stack_batches
+        from graspldm_tpu.training.experiment import (
+            Experiment,
+            restore_checkpoint,
+        )
+        from graspldm_tpu.training.trainer import GraspGenerationTrainer
+
+        root = make_synthetic_acronym(str(tmp_path / "acr"))
+        ds = AcronymShapenetPointclouds(
+            data_root_dir=root, split="train", batch_num_points_per_pc=32,
+            batch_num_grasps_per_pc=4, min_num_grasps=4,
+            num_repeat_dataset=4,
+        )
+        cfg = FlagshipConfig(
+            pc_num_points=32, pc_latent_size=8, pc_latent_channels=3,
+            grasp_latent_size=4, block_channels=(8, 16),
+            resnet_block_groups=4, dropout=None, pc_scale_channels=0.25,
+            pc_scale_voxel_resolution=0.25, diffusion_timesteps=50,
+        )
+        exp = Experiment(str(tmp_path / "out"), "chunked", "vae")
+        trainer = GraspGenerationTrainer(
+            experiment=exp, model_cfg=cfg, stage="vae",
+            log_every=2, ckpt_every=2, steps_per_dispatch=2,
+        )
+        state = trainer.init_state(
+            jax.random.PRNGKey(0), next(ds.batches(2))
+        )
+
+        def batches():
+            while True:
+                for b in ds.batches(2):
+                    yield {"pc": b["pc"], "grasps": b["grasps"]}
+
+        state = trainer.fit(
+            state, stack_batches(batches(), 2), 6, jax.random.PRNGKey(1)
+        )
+        assert int(state.step) == 6
+
+        recs = [
+            json.loads(line)
+            for line in open(os.path.join(exp.log_dir, "metrics.jsonl"))
+        ]
+        assert [r["step"] for r in recs] == [2, 4, 6]
+        assert all(np.isfinite(r["loss"]) for r in recs)
+        restored = restore_checkpoint(exp.checkpoint_path("last"), state)
+        assert int(restored.step) == 6

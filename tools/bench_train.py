@@ -179,6 +179,36 @@ def bench_host_loop(args):
         out[f"vae_loop_steps_per_sec_{workers}w"] = round(
             float(np.mean(rates)), 2
         )
+
+    # K-steps-per-dispatch loop (trainer steps_per_dispatch): one stacked
+    # transfer + one lax.scan dispatch per K steps — amortizes the
+    # per-call RPC latency that bounds the K=1 loop behind a chip tunnel
+    from graspldm_tpu.parallel import stack_batches
+
+    for K in (8,):
+        trainer_k = GraspGenerationTrainer(
+            experiment=exp, model_cfg=cfg, stage="vae",
+            log_every=20, ckpt_every=10_000, steps_per_dispatch=K,
+        )
+        with BatchWorkerPool(make_iter, num_workers=1) as pool:
+            batches = prefetch_to_device(
+                stack_batches(pool, K), size=2, chunked=True
+            )
+            # warm-up (compile) outside the timing
+            state = trainer_k.fit(
+                state, batches, int(state.step) + K,
+                _jax.random.PRNGKey(1),
+            )
+            seen = len(logged_rates())
+            state = trainer_k.fit(
+                state, batches, int(state.step) + 96,
+                _jax.random.PRNGKey(1),
+            )
+        rates = logged_rates()[seen:]
+        rates = [r for r in rates if r < 1e6][1:]
+        out[f"vae_loop_steps_per_sec_chunk{K}"] = round(
+            float(np.mean(rates)), 2
+        )
     # producer-only rate: how fast the host can assemble batches at all
     t0 = time.perf_counter()
     n = 0

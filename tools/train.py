@@ -120,6 +120,9 @@ def main():
             ),
             log_every=trainer_cfg.get("log_every_n_steps", 100),
             logger_cfg=trainer_cfg.get("logger"),
+            steps_per_dispatch=int(
+                trainer_cfg.get("steps_per_dispatch", 1)
+            ),
         )
         example = next(dataset.batches(batch_size))
         state = trainer.init_state(rng, example)
@@ -131,7 +134,12 @@ def main():
                 for b in dataset.batches(batch_size):
                     yield b
 
-        trainer.fit(state, classifier_batches(), max_steps, rng)
+        src = classifier_batches()
+        if trainer.steps_per_dispatch > 1:
+            from graspldm_tpu.parallel import stack_batches
+
+            src = stack_batches(src, trainer.steps_per_dispatch)
+        trainer.fit(state, src, max_steps, rng)
         return
 
     model_cfg = FlagshipConfig(**cfg.get("flagship_args", {}))
@@ -170,6 +178,7 @@ def main():
         log_every=trainer_cfg.get("log_every_n_steps", 100),
         logger_cfg=trainer_cfg.get("logger"),
         eval_every=int(trainer_cfg.get("eval_every", 0)),
+        steps_per_dispatch=int(trainer_cfg.get("steps_per_dispatch", 1)),
     )
 
     example = next(dataset.batches(batch_size))
@@ -229,14 +238,24 @@ def main():
             coverage_tau=float(eval_cfg.get("coverage_tau", 0.02)),
         )
 
-    from graspldm_tpu.parallel import BatchWorkerPool, prefetch_to_device
+    from graspldm_tpu.parallel import (
+        BatchWorkerPool,
+        prefetch_to_device,
+        stack_batches,
+    )
 
     # full input pipeline: worker threads assemble host batches ahead of
     # the consumer (reference DataLoader num_workers), then a 2-deep
-    # non-blocking device_put double-buffer hides the transfer
+    # non-blocking device_put double-buffer hides the transfer; with
+    # trainer.steps_per_dispatch > 1 batches are stacked K at a time and
+    # the trainer scans K steps per dispatch (amortizes RPC latency)
     num_workers = int(trainer_cfg.get("num_workers", 1))
+    K = trainer.steps_per_dispatch
     with BatchWorkerPool(make_iter, num_workers=num_workers) as pool:
-        batches = prefetch_to_device(pool, size=2, mesh=trainer.mesh)
+        src = stack_batches(pool, K) if K > 1 else pool
+        batches = prefetch_to_device(
+            src, size=2, mesh=trainer.mesh, chunked=K > 1
+        )
         trainer.fit(state, batches, max_steps, rng, frozen_vae,
                     eval_fn=eval_fn)
 
