@@ -17,8 +17,21 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PER_CHIP_TARGET = 50_000 / 8  # north-star v5e-8 target, per chip
+
+
+def _sync(out):
+    """Wait for ``out['grasps']`` by MATERIALIZING a tiny slice.
+
+    ``jax.block_until_ready`` can return early through the remote-chip
+    tunnel (observed reading a 24.7 ms train step as 7.6 ms); an actual
+    D2H read of computed bytes cannot. The 16-float read costs one ~30 ms
+    round trip — bill it per timed iteration or amortize it over a queued
+    loop, but never trust a bare block_until_ready timing here.
+    """
+    np.asarray(out["grasps"][0, 0])
 
 
 def main():
@@ -70,14 +83,14 @@ def main():
 
     # Warmup / compile
     out = generate(vae_vars, ddm_vars, pc, rng)
-    jax.block_until_ready(out["grasps"])
+    _sync(out)
 
     iters = 5
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
         out = generate(vae_vars, ddm_vars, pc, jax.random.PRNGKey(i))
-        jax.block_until_ready(out["grasps"])
+        _sync(out)
         times.append(time.perf_counter() - t0)
     dt = sum(times) / iters
 
@@ -96,12 +109,12 @@ def main():
         )
 
     out1 = generate_one(vae_vars, ddm_vars, pc1, rng)
-    jax.block_until_ready(out1["grasps"])
+    _sync(out1)
     lat = []
     for i in range(iters):
         t0 = time.perf_counter()
         out1 = generate_one(vae_vars, ddm_vars, pc1, jax.random.PRNGKey(i))
-        jax.block_until_ready(out1["grasps"])
+        _sync(out1)
         lat.append(time.perf_counter() - t0)
     p50_ms_single_object = sorted(lat)[len(lat) // 2] * 1e3
 
@@ -113,11 +126,11 @@ def main():
         return vae_generate(vae, vv, pc, G, key)
 
     out_v = gen_vae(vae_vars, pc, rng)
-    jax.block_until_ready(out_v["grasps"])
+    _sync(out_v)
     t0 = time.perf_counter()
     for i in range(iters):
         out_v = gen_vae(vae_vars, pc, jax.random.PRNGKey(i))
-    jax.block_until_ready(out_v["grasps"])
+    _sync(out_v)  # one materialization drains the serial queue
     vae_samples_per_sec = B * G * iters / (time.perf_counter() - t0)
 
     # Optional: time the multi-chip shard_map program on the local mesh
@@ -136,11 +149,11 @@ def main():
             num_inference_steps=STEPS, sampler="ddim",
         )
         out_s = sharded(vae_vars, ddm_vars, pc, rng)
-        jax.block_until_ready(out_s["grasps"])
+        _sync(out_s)
         t0 = time.perf_counter()
         for i in range(iters):
             out_s = sharded(vae_vars, ddm_vars, pc, jax.random.PRNGKey(i))
-            jax.block_until_ready(out_s["grasps"])
+            _sync(out_s)
         sharded_gps = round(B * G * iters / (time.perf_counter() - t0), 1)
 
     details_path = (

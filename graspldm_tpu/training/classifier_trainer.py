@@ -108,7 +108,9 @@ class GraspClassificationTrainer:
             prev = step
             step += K
             if step // self.log_every > prev // self.log_every or prev == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                from .trainer import _fetch_metrics
+
+                m = _fetch_metrics(metrics)
                 self.logger.log(step, m)
                 print(f"[classifier] step {step}: " +
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()))

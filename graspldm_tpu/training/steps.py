@@ -34,7 +34,7 @@ __all__ = ["VAELossConfig", "make_vae_train_step", "make_ddm_train_step",
            "make_chunked_step", "init_train_state"]
 
 
-def make_chunked_step(step_fn: Callable) -> Callable:
+def make_chunked_step(step_fn: Callable, unroll: int = 1) -> Callable:
     """Run K train steps in ONE device dispatch via ``lax.scan``.
 
     Takes the same signature as the wrapped step but with every batch
@@ -42,10 +42,15 @@ def make_chunked_step(step_fn: Callable) -> Callable:
     state after K steps and the per-metric MEAN over the chunk. Exact:
     both step functions fold the RNG with ``state.step``, so scanned
     steps draw the same randomness the host loop would. One dispatch +
-    one stacked transfer per K steps amortizes per-call host->device
-    RPC latency — the loop bottleneck when the chip sits behind a
-    network tunnel (TRAIN_BENCH: 29.8 steps/s host loop vs 169.9
-    jitted-step rate at K=1).
+    one stacked transfer per K steps amortizes per-call host overhead
+    (transfers, dispatch, and the per-call sync cost of a remote-chip
+    tunnel), making the loop rate track the device step rate.
+
+    ``unroll`` > 1 unrolls that many scan iterations into one XLA
+    computation: measured +19% train throughput at unroll=8 on v5e (XLA
+    fuses/pipelines across step boundaries) for ~3.4x the compile time
+    — opt in via the trainer's ``dispatch_unroll`` when training runs
+    long enough to amortize the compile.
     """
 
     def chunk_fn(state, batches, rng, *extra):
@@ -53,7 +58,7 @@ def make_chunked_step(step_fn: Callable) -> Callable:
             st, metrics = step_fn(st, batch, rng, *extra)
             return st, metrics
 
-        state, metrics = jax.lax.scan(body, state, batches)
+        state, metrics = jax.lax.scan(body, state, batches, unroll=unroll)
         return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
 
     return chunk_fn

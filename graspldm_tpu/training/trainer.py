@@ -35,6 +35,17 @@ from .experiment import Experiment, restore_checkpoint, save_checkpoint
 __all__ = ["GraspGenerationTrainer"]
 
 
+def _fetch_metrics(metrics: Dict[str, jax.Array]) -> Dict[str, float]:
+    """Device metrics -> host floats in ONE transfer.
+
+    ``float(v)`` per metric costs one device round trip each (~30 ms
+    through a remote-chip tunnel); stacking on device and reading once
+    collapses N round trips to one program + one read."""
+    keys = sorted(metrics)
+    vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+    return {k: float(v) for k, v in zip(keys, vals)}
+
+
 def _conditioning_example(model_cfg: FlagshipConfig, bg: int) -> tuple:
     """Extra positional example args for conditioned denoiser init."""
     if model_cfg.conditioning == "class":
@@ -62,13 +73,15 @@ class GraspGenerationTrainer:
         logger_cfg: Optional[Dict[str, Any]] = None,
         eval_every: int = 0,
         steps_per_dispatch: int = 1,
+        dispatch_unroll: int = 1,
     ):
         """``steps_per_dispatch`` > 1 runs K train steps per device
         dispatch (``lax.scan`` over a stacked ``[K, ...]`` batch, see
         :func:`make_chunked_step`); ``fit`` then expects ``stack_batches``
-        chunks. Amortizes per-dispatch host RPC latency — use when the
-        loop measures far below the jitted-step rate (remote-chip
-        tunnels)."""
+        chunks. Amortizes per-dispatch host overhead — use when the
+        loop measures below the device step rate (remote-chip tunnels).
+        ``dispatch_unroll`` unrolls that many scanned steps into one XLA
+        computation (+19% measured at 8, costs compile time)."""
         assert stage in ("vae", "ddm", "elucidated_ddm")
         assert steps_per_dispatch >= 1
         if stage == "elucidated_ddm" and not model_cfg.elucidated:
@@ -85,6 +98,7 @@ class GraspGenerationTrainer:
         self.ckpt_every = ckpt_every
         self.eval_every = eval_every
         self.steps_per_dispatch = steps_per_dispatch
+        self.dispatch_unroll = dispatch_unroll
         self.use_vae_ema_for_ddm = use_vae_ema_for_ddm
         # config-selected metric logger (reference
         # `grasp_generation_trainer.py:175-201`); the JSONL fallback writes
@@ -176,7 +190,7 @@ class GraspGenerationTrainer:
         if self.steps_per_dispatch > 1:
             from .steps import make_chunked_step
 
-            fn = make_chunked_step(fn)
+            fn = make_chunked_step(fn, unroll=self.dispatch_unroll)
         return jax.jit(fn, donate_argnums=0)
 
     def _place(self, state: TrainState, batch):
@@ -279,7 +293,7 @@ class GraspGenerationTrainer:
             prev = step
             step += K
             if step // self.log_every > prev // self.log_every or prev == 0:
-                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics = _fetch_metrics(metrics)
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 metrics["steps_per_sec"] = (step - last_logged) / max(dt, 1e-9)

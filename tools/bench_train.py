@@ -5,7 +5,7 @@ The reference trains through Lightning's host loop (per-step Python +
 DataLoader workers); here each stage's step is one jitted program over
 device-resident batches. Run on the TPU chip:
 
-    python tools/bench_train.py [--batch-size 10] [--grasps 100] [--iters 20]
+    python tools/bench_train.py [--batch-size 10] [--grasps 100] [--iters 40]
 
 Appends results to TRAIN_BENCH.json.
 """
@@ -29,7 +29,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=10)
     p.add_argument("--grasps", type=int, default=100)
     p.add_argument("--points", type=int, default=1024)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=40)
     p.add_argument("--loop", action="store_true",
                    help="also run the full host loop (dataset -> workers -> "
                    "prefetch -> trainer.fit) on the synthetic fixture")
@@ -60,15 +60,20 @@ def main():
     )
     results["vae_init_s"] = round(time.perf_counter() - t0, 2)
 
+    # timing note: the final sync is float(loss) — an actual D2H
+    # materialization — NOT block_until_ready, which can return early
+    # through the remote-chip tunnel and inflate rates several-fold
+    # (observed 7.6 "ms/step" for a true 24.7 ms step). The one ~30 ms
+    # sync round trip biases the mean by <= 30/iters ms.
     vae_step = jax.jit(make_vae_train_step(vae, tx), donate_argnums=0)
     t0 = time.perf_counter()
     vae_state, m = vae_step(vae_state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     results["vae_compile_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         vae_state, m = vae_step(vae_state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / args.iters
     results["vae_steps_per_sec"] = round(1.0 / dt, 2)
     results["vae_ms_per_step"] = round(dt * 1e3, 2)
@@ -85,12 +90,12 @@ def main():
     )
     t0 = time.perf_counter()
     ddm_state, m = ddm_step(ddm_state, batch, rng, frozen)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     results["ddm_compile_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         ddm_state, m = ddm_step(ddm_state, batch, rng, frozen)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / args.iters
     results["ddm_steps_per_sec"] = round(1.0 / dt, 2)
     results["ddm_ms_per_step"] = round(dt * 1e3, 2)
@@ -107,10 +112,10 @@ def bench_host_loop(args):
     """Full host training loop (dataset -> worker pool -> prefetch ->
     trainer.fit) on the synthetic fixture, vs the pure jitted-step rate.
 
-    On a many-core host the loop rate should approach the jitted rate
-    (batch assembly hides behind the device step); this host has ONE core,
-    so the producer itself bounds the loop — the bench records both so the
-    gap is attributable.
+    The loop rate should approach the honest jitted rate: batch assembly
+    hides behind the device step (worker thread), and the K-steps-per-
+    dispatch variant amortizes the per-call host overhead (device_put +
+    dispatch + the tunnel's ~30 ms sync cost at each log boundary).
     """
     import tempfile
     import jax as _jax
@@ -182,7 +187,8 @@ def bench_host_loop(args):
 
     # K-steps-per-dispatch loop (trainer steps_per_dispatch): one stacked
     # transfer + one lax.scan dispatch per K steps — amortizes the
-    # per-call RPC latency that bounds the K=1 loop behind a chip tunnel
+    # per-call host overhead; the loop rate should match the honest
+    # jitted-step rate (vae_steps_per_sec above) within a few percent
     from graspldm_tpu.parallel import stack_batches
 
     for K in (8,):

@@ -179,6 +179,7 @@ def main():
         logger_cfg=trainer_cfg.get("logger"),
         eval_every=int(trainer_cfg.get("eval_every", 0)),
         steps_per_dispatch=int(trainer_cfg.get("steps_per_dispatch", 1)),
+        dispatch_unroll=int(trainer_cfg.get("dispatch_unroll", 1)),
     )
 
     example = next(dataset.batches(batch_size))
