@@ -6,8 +6,15 @@ rebuild provides:
 
   * :func:`trace` — context manager around `jax.profiler` emitting a
     TensorBoard-compatible trace directory (xplane) for any code region.
-  * :class:`Timer` — `block_until_ready`-based wall timing with percentile
-    summaries (the XLA analogue of CUDA events).
+  * :func:`materialize` / :func:`timeit` — reliable device timing: the
+    sync is an actual D2H read of computed bytes. A bare
+    ``jax.block_until_ready`` can return EARLY through a remote-chip
+    transport (observed reading a 24.7 ms train step as 7.6 ms), so no
+    timing here trusts it.
+  * :class:`Timer` — per-call wall timing with percentile summaries (the
+    XLA analogue of CUDA events); each sample includes one sync round
+    trip (~30 ms through a chip tunnel) — use :func:`timeit` for
+    throughput numbers, Timer for latency distributions.
   * :func:`log_compile_time` — measures first-call (compile) vs steady-state
     latency of a jitted function.
 """
@@ -21,7 +28,40 @@ from typing import Any, Callable, Dict, List, Optional
 import jax
 import numpy as np
 
-__all__ = ["trace", "Timer", "log_compile_time"]
+__all__ = ["trace", "Timer", "log_compile_time", "materialize", "timeit"]
+
+
+def materialize(out: Any) -> None:
+    """Synchronize on ``out`` by READING one element of its first leaf.
+
+    The read round-trips actual computed bytes to the host, so it cannot
+    return before the producing program finishes — unlike
+    ``block_until_ready`` over a remote-chip transport. One call costs a
+    host<->device round trip (~30 ms through a tunnel); amortize it over
+    a queued loop of dispatches (the device executes them in order, so
+    one final read drains the queue).
+    """
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
+def timeit(fn: Callable, *args: Any, iters: int = 20) -> float:
+    """Steady-state seconds per call of an already-compiled thunk.
+
+    Queues ``iters`` dispatches and materializes once at the end; the
+    measured cost of one bare sync round trip (read of a ready value) is
+    subtracted so the figure is pure device throughput.
+    """
+    out = fn(*args)
+    materialize(out)
+    t0 = time.perf_counter()
+    materialize(out)  # bare round-trip cost on an already-ready value
+    sync_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    materialize(out)
+    return max(time.perf_counter() - t0 - sync_s, 1e-9) / iters
 
 
 @contextlib.contextmanager
@@ -42,10 +82,10 @@ class Timer:
 
     def measure(self, fn: Callable[[], Any], iters: int = 10, warmup: int = 2):
         for _ in range(warmup):
-            jax.block_until_ready(fn())
+            materialize(fn())
         for _ in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
+            materialize(fn())
             self.samples_ms.append((time.perf_counter() - t0) * 1e3)
         return self
 
@@ -62,9 +102,9 @@ class Timer:
 def log_compile_time(fn: Callable[[], Any]) -> Dict[str, float]:
     """(compile+run, steady-state) seconds for a jitted thunk."""
     t0 = time.perf_counter()
-    jax.block_until_ready(fn())
+    materialize(fn())
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(fn())
+    materialize(fn())
     steady_s = time.perf_counter() - t0
     return {"compile_s": compile_s, "steady_s": steady_s}

@@ -21,14 +21,9 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+# honest timing: materialized syncs (block_until_ready can return early
+# through the chip tunnel — see graspldm_tpu.utils.profiling.timeit)
+from graspldm_tpu.utils.profiling import timeit  # noqa: E402
 
 
 def main():

@@ -5,7 +5,7 @@ Rebuild of the reference benchmark harness
 (`grasp_ldm/models/modules/ext/pvcnn/benchmark.py:60-360`): PVCNN vs PVCNN2
 across batch sizes [1, 4, 16, 64, 256] x 1024 points, 20 warmup + 100 timed
 iterations, reporting avg/p50/p95/p99 latency (ms) and throughput
-(samples/s). Timing uses `block_until_ready` walls (the XLA equivalent of
+(samples/s). Timing uses materialized-read syncs (the XLA equivalent of
 CUDA events); results go to stdout and an optional CSV.
 """
 
@@ -28,18 +28,22 @@ def bench_model(name, apply_fn, variables, batch_sizes, n_points, warmup, iters)
     rows = []
     for bs in batch_sizes:
         x = jax.random.normal(jax.random.PRNGKey(0), (bs, n_points, 3))
+        from graspldm_tpu.utils.profiling import materialize
+
         fn = jax.jit(lambda v, x: apply_fn(v, x))
         out = fn(variables, x)
-        jax.block_until_ready(out)
+        materialize(out)
         for _ in range(warmup):
             out = fn(variables, x)
-        jax.block_until_ready(out)
+        materialize(out)
 
+        # per-iteration latency incl. one sync round trip (materialized
+        # read — block_until_ready can return early through the tunnel)
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             out = fn(variables, x)
-            jax.block_until_ready(out)
+            materialize(out)
             times.append((time.perf_counter() - t0) * 1e3)
         times = np.asarray(times)
         row = {
