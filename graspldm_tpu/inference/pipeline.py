@@ -15,6 +15,7 @@ for multi-chip generation.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -122,12 +123,12 @@ def decode_and_postprocess(
     return result
 
 
-def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
-                     z_cond=None):
-    """Resolve the denoiser hot path (see ``ldm_generate.denoiser_impl``).
+def _resolve_denoiser_impl(ddm, cond_kwargs, impl):
+    """Resolve ``denoiser_impl`` ("auto" -> "pallas"/"flax") and validate.
 
-    ``z_cond`` (when known up front) lets the kernel paths hoist the
-    step-invariant conditioning embedding out of the sampler scan.
+    The kernel paths support class/region conditioning because it is a
+    STEP-INVARIANT additive embedding, folded into the hoisted input
+    embedding (see stacked_denoiser.compute_extra_emb).
     """
     from ..models.conditioning import (
         ClassConditionedGraspLatentDDM,
@@ -135,9 +136,6 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
     )
     from ..models.grasp_ldm import GraspLatentDDM
 
-    # class/region conditioning is a STEP-INVARIANT additive embedding, so
-    # the kernel paths support it by folding it into the hoisted input
-    # embedding (see stacked_denoiser.compute_extra_emb)
     cond_ok = (
         (not cond_kwargs and isinstance(ddm, GraspLatentDDM))
         or (
@@ -168,52 +166,78 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
             "with cls_cond, or RegionConditionedGraspLatentDDM with "
             "region_points"
         )
+    return impl
+
+
+def _denoiser_dims(ddm):
+    from ..models.fused_denoiser import DenoiserDims
+
+    return DenoiserDims(
+        seq_len=ddm.latent_in_features,
+        block_channels=tuple(ddm.block_channels),
+        groups=ddm.resnet_block_groups,
+        emb_dim=ddm.latent_in_features * 4,
+        cond_channels=3,
+        cond_dim=ddm.pc_latent_size,
+        fourier_dim=ddm.learned_sinusoidal_dim,
+    )
+
+
+def _pallas_pack(ddm, ddm_variables, cond_kwargs, z_cond):
+    """(packed weights, dims, hoisted input_emb) for the kernel sampler.
+
+    ``input_emb`` folds the class/region embedding when present — both are
+    constant across sampler steps, so they live OUTSIDE the scan.
+    """
+    from ..models.stacked_denoiser import (
+        compute_extra_emb,
+        compute_input_emb,
+    )
+    from ..models.stacked_pallas import pack_pallas_weights
+
+    dims = _denoiser_dims(ddm)
+    # compute precision follows the model's declared compute dtype
+    # (FlagshipConfig.denoiser_dtype), not silently bf16
+    dtype = (
+        jnp.bfloat16
+        if getattr(ddm, "dtype", None) == jnp.bfloat16
+        else jnp.float32
+    )
+    w = pack_pallas_weights(ddm_variables, dims, dtype=dtype)
+    extra_emb = compute_extra_emb(w, **cond_kwargs)
+    input_emb = (
+        compute_input_emb(w, z_cond.astype(jnp.float32))
+        if z_cond is not None
+        else None
+    )
+    if input_emb is not None and extra_emb is not None:
+        input_emb = input_emb + extra_emb[:, None, :]
+    return w, dims, input_emb, extra_emb
+
+
+def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
+                     z_cond=None):
+    """Resolve the denoiser hot path (see ``ldm_generate.denoiser_impl``).
+
+    ``z_cond`` (when known up front) lets the kernel paths hoist the
+    step-invariant conditioning embedding out of the sampler scan.
+    """
+    impl = _resolve_denoiser_impl(ddm, cond_kwargs, impl)
 
     if impl in ("pallas", "stacked"):
-        from ..models.fused_denoiser import DenoiserDims
-
-        dims = DenoiserDims(
-            seq_len=ddm.latent_in_features,
-            block_channels=tuple(ddm.block_channels),
-            groups=ddm.resnet_block_groups,
-            emb_dim=ddm.latent_in_features * 4,
-            cond_channels=3,
-            cond_dim=ddm.pc_latent_size,
-            fourier_dim=ddm.learned_sinusoidal_dim,
-        )
+        dims = _denoiser_dims(ddm)
 
     if impl == "pallas":
-        from ..models.stacked_pallas import (
-            pack_pallas_weights,
-            stacked_denoiser_pallas_apply,
-        )
-
-        # compute precision follows the model's declared compute dtype
-        # (FlagshipConfig.denoiser_dtype), not silently bf16
-        dtype = (
-            jnp.bfloat16
-            if getattr(ddm, "dtype", None) == jnp.bfloat16
-            else jnp.float32
-        )
-        w = pack_pallas_weights(ddm_variables, dims, dtype=dtype)
-
-        from ..models.stacked_denoiser import (
-            compute_extra_emb,
-            compute_input_emb,
-        )
+        from ..models.stacked_denoiser import compute_input_emb
+        from ..models.stacked_pallas import stacked_denoiser_pallas_apply
 
         # both the pc-conditioning and the class/region embeddings are
         # constant across sampler steps: computing them HERE (outside the
         # sampler's lax.scan) means the scan body only fuses the tiny
         # per-step time embedding
-        extra_emb = compute_extra_emb(w, **cond_kwargs)
-        input_emb = (
-            compute_input_emb(w, z_cond.astype(jnp.float32))
-            if z_cond is not None
-            else None
+        w, dims, input_emb, extra_emb = _pallas_pack(
+            ddm, ddm_variables, cond_kwargs, z_cond
         )
-        if input_emb is not None and extra_emb is not None:
-            input_emb = input_emb + extra_emb[:, None, :]
 
         def denoise(x, t, z):
             if input_emb is not None:
@@ -342,12 +366,44 @@ def ldm_generate(
     if region_points is not None:
         cond_kwargs["region_points"] = region_points
 
+    from ..diffusion import ElucidatedDiffusion
+
+    # Kernels-only sampler: when the pallas denoiser qualifies and the
+    # sampler is plain DDIM/DDPM, fold the time embedding, init matmul and
+    # the scheduler update into the stage kernels too — the scan body
+    # becomes n_stages+1 `pallas_call`s with ZERO XLA ops
+    # (models/pallas_sampler.py). Opt out with GRASPLDM_FUSED_SAMPLER=0.
+    resolved_impl = _resolve_denoiser_impl(ddm, cond_kwargs, denoiser_impl)
+    use_fused = (
+        resolved_impl == "pallas"
+        and not isinstance(diffusion, ElucidatedDiffusion)
+        and sampler in ("ddim", "ddpm")
+        and os.environ.get("GRASPLDM_FUSED_SAMPLER", "1") != "0"
+    )
+    if use_fused:
+        from ..models.pallas_sampler import fused_sample
+
+        w, dims, input_emb, _ = _pallas_pack(
+            ddm, ddm_variables, cond_kwargs, z_pc_rep
+        )
+        x0, traj = fused_sample(
+            w, dims, diffusion.schedule, input_emb, rng,
+            batch_size=B * num_grasps,
+            num_inference_steps=num_inference_steps,
+            sampler=sampler,
+            variance_type=diffusion.variance_type,
+            return_trajectory=return_trajectory,
+        )
+        decode_fn = _make_decode_fn(vae, vae_variables, decoder_impl)
+        return _finish_ldm(
+            vae, vae_variables, x0, traj, z_pc_rep, num_grasps, meta,
+            return_trajectory, decode_fn,
+        )
+
     denoise = _make_denoise_fn(
-        ddm, ddm_variables, cond_kwargs, p_dtype, denoiser_impl,
+        ddm, ddm_variables, cond_kwargs, p_dtype, resolved_impl,
         z_cond=z_pc_rep,
     )
-
-    from ..diffusion import ElucidatedDiffusion
 
     if isinstance(diffusion, ElucidatedDiffusion):
         # EDM samplers: churn (stochastic) or DPM++(2M); the reference wires
@@ -373,6 +429,16 @@ def ldm_generate(
             return_trajectory=return_trajectory,
         )
     decode_fn = _make_decode_fn(vae, vae_variables, decoder_impl)
+    return _finish_ldm(
+        vae, vae_variables, x0, traj, z_pc_rep, num_grasps, meta,
+        return_trajectory, decode_fn,
+    )
+
+
+def _finish_ldm(
+    vae, vae_variables, x0, traj, z_pc_rep, num_grasps, meta,
+    return_trajectory, decode_fn,
+):
     result = decode_and_postprocess(
         vae, vae_variables, x0[:, 0, :], z_pc_rep, num_grasps, meta,
         decode_fn=decode_fn,

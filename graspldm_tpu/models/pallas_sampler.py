@@ -1,0 +1,427 @@
+"""Zero-glue reverse-diffusion sampler: every scan step is ONLY kernels.
+
+The per-stage Pallas denoiser (:mod:`stacked_pallas`) still leaves ~10 XLA
+ops in the sampler's `lax.scan` body: the time-embedding MLP + silu, the
+init matmul, dtype casts, and the DDIM/DDPM scheduler update (reference
+semantics: `grasp_ldm/models/diffusion/gaussian_diffusion.py:232-277`,
+rebuilt in :mod:`graspldm_tpu.diffusion.schedules`). Each is tiny, but at
+~1.5 ms/step the launch/glue overhead is a measurable slice of the chain
+(~0.12 ms at BG=8192) and dominates the B=1 serving path.
+
+This module removes ALL of it. Two observations make that possible:
+
+  * ``t`` is a per-step SCALAR on a static grid, so the whole
+    time-embedding head collapses to a precomputed ``[S, 1, W]`` row table
+    built once outside the scan; each stage kernel rebuilds
+    ``emb_s = silu(input_emb + time_row)`` in VMEM from the step's row
+    (a [1, W] broadcast-add — cheaper than reading a precomputed emb_s
+    from HBM).
+  * the DDIM / DDPM updates are affine in ``(x, eps)`` around a clip, so
+    each step reduces to 4-5 precomputed scalars consumed by the FINAL
+    stage kernel, which takes the carry ``x`` as an extra input block and
+    emits ``x_{t-1}`` directly.
+
+The scan body is therefore exactly ``n_stages + 1`` `pallas_call`s (plus,
+for DDPM only, the per-step normal draw): no XLA elementwise ops, no
+reshapes, no host math. Numerics match
+``GaussianDiffusion1D.sample(stacked_denoiser_pallas_apply)`` (parity
+test: tests/test_fused_denoiser.py::test_fused_sampler_parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_denoiser import DenoiserDims
+from .stacked_denoiser import FLAGSHIP_DIMS, compute_time_emb
+from .stacked_pallas import (
+    _attention_k,
+    _conv3_k,
+    _mmd,
+    _resblock_k,
+    _stage_weight_names,
+    _use_xla_attention,
+)
+from ..diffusion.schedules import DiffusionSchedule
+
+__all__ = ["fused_sample"]
+
+
+def _silu_f32_to(x, dtype):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.nn.sigmoid(xf)).astype(dtype)
+
+
+def _emb_from_row(embin, trow, dtype):
+    """emb_s = silu(input_emb + time_row) in fp32, cast to compute dtype.
+
+    ``embin [R, W]`` is the hoisted (pre-silu) conditioning embedding;
+    ``trow [1, W]`` is this step's tiled time embedding. Matches
+    `stacked_denoiser.compute_emb_s_stacked` bit-for-bit (same op order).
+    """
+    return _silu_f32_to(embin.astype(jnp.float32) + trow.astype(jnp.float32),
+                        dtype)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _stage0_kernel(names, dims, C, *refs):
+    """init matmul + stage-0 resblocks/attention/proj, emb built in-kernel."""
+    x_ref, embin_ref, trow_ref = refs[0], refs[1], refs[2]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[3:-1])}
+    L = dims.seq_len
+    dtype = g["init_W"].dtype
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], dtype)
+    x = _mmd(x_ref[...].astype(dtype), g["init_W"], dtype) + g["init_b"]
+    x = _resblock_k(x, emb, g, "b0r1", L, C, dims.cond_channels)
+    x = _resblock_k(x, emb, g, "b0r2", L, C, dims.cond_channels)
+    x = _attention_k(x, g, 0, L, C, dims.heads, dims.dim_head)
+    out_ref[...] = _conv3_k(x, g, "b0_proj", L, C, x.dtype)
+
+
+def _mid_stage_kernel(names, dims, stage_i, C, *refs):
+    x_ref, embin_ref, trow_ref = refs[0], refs[1], refs[2]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[3:-1])}
+    L = dims.seq_len
+    x = x_ref[...]
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], x.dtype)
+    x = _resblock_k(x, emb, g, f"b{stage_i}r1", L, C, dims.cond_channels)
+    x = _resblock_k(x, emb, g, f"b{stage_i}r2", L, C, dims.cond_channels)
+    x = _attention_k(x, g, stage_i, L, C, dims.heads, dims.dim_head)
+    out_ref[...] = _conv3_k(x, g, f"b{stage_i}_proj", L, C, x.dtype)
+
+
+def _scheduler_update(eps, xt_ref, coef_ref, noise_ref, sampler, clip,
+                      clip_range):
+    """DDIM / DDPM update on VMEM values (shared by the final kernels)."""
+    xt = xt_ref[...].astype(jnp.float32)
+    c = coef_ref[...].astype(jnp.float32)  # [1, 8]
+    # [1, 1] coefficient slices broadcast against [R, L] (no scalar
+    # extracts — lane/sublane broadcasts are the safe Mosaic lowering)
+    a, b = c[:, 0:1], c[:, 1:2]
+    x0 = a * xt - b * eps
+    if clip:
+        x0 = jnp.clip(x0, -clip_range, clip_range)
+    if sampler == "ddim":
+        # x_{t-1} = d * x_t + e * clip(x0)   (affine residue of ddim_step)
+        d, e = c[:, 2:3], c[:, 3:4]
+        return d * xt + e * x0
+    # ddpm: posterior mean + sigma * noise
+    c0, c1, sigma = c[:, 2:3], c[:, 3:4], c[:, 4:5]
+    return c0 * x0 + c1 * xt + sigma * noise_ref[...].astype(jnp.float32)
+
+
+def _full_step_kernel(names, dims, cins, sampler, clip, clip_range, *refs):
+    """The ENTIRE sampler step in one launch: init matmul, every stage,
+    the eps head and the scheduler update. One grid pass over the rows."""
+    xt_ref, embin_ref, trow_ref, coef_ref = refs[:4]
+    noise_ref = refs[4] if sampler == "ddpm" else None
+    w0 = 5 if sampler == "ddpm" else 4
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[w0:-1])}
+    L = dims.seq_len
+    dtype = g["init_W"].dtype
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], dtype)
+    x = _mmd(xt_ref[...].astype(dtype), g["init_W"], dtype) + g["init_b"]
+    for i, C in enumerate(cins):
+        x = _resblock_k(x, emb, g, f"b{i}r1", L, C, dims.cond_channels)
+        x = _resblock_k(x, emb, g, f"b{i}r2", L, C, dims.cond_channels)
+        x = _attention_k(x, g, i, L, C, dims.heads, dims.dim_head)
+        x = _conv3_k(x, g, f"b{i}_proj", L, C, x.dtype)
+    x = _resblock_k(x, emb, g, "final", L, dims.block_channels[-1],
+                    dims.cond_channels)
+    eps = (_mmd(x, g["final_W"], x.dtype) + g["final_b"]).astype(jnp.float32)
+    out_ref[...] = _scheduler_update(
+        eps, xt_ref, coef_ref, noise_ref, sampler, clip, clip_range
+    )
+
+
+def _final_step_kernel(names, dims, C, sampler, clip, clip_range, *refs):
+    """final resblock + eps head + the scheduler update, in one launch.
+
+    Extra refs vs the plain final kernel: the carry ``x_t [R, L]`` (fp32),
+    the step's coefficient row ``[1, 8]`` (fp32), and for DDPM the step's
+    normal draw ``[R, L]``. Emits ``x_{t-1} [R, L]`` fp32.
+    """
+    h_ref, embin_ref, trow_ref, xt_ref, coef_ref = refs[:5]
+    noise_ref = refs[5] if sampler == "ddpm" else None
+    w0 = 6 if sampler == "ddpm" else 5
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[w0:-1])}
+    L = dims.seq_len
+    h = h_ref[...]
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], h.dtype)
+    h = _resblock_k(h, emb, g, "final", L, C, dims.cond_channels)
+    # eps in the compute dtype then fp32 — identical to the unfused path
+    # (kernel output cast -> XLA upcast)
+    eps = (_mmd(h, g["final_W"], h.dtype) + g["final_b"]).astype(jnp.float32)
+    out_ref[...] = _scheduler_update(
+        eps, xt_ref, coef_ref, noise_ref, sampler, clip, clip_range
+    )
+
+
+# ---------------------------------------------------------------------------
+# launch plumbing
+# ---------------------------------------------------------------------------
+
+
+def _const_specs(arrays):
+    specs = []
+    for a in arrays:
+        nd = a.ndim
+        specs.append(
+            pl.BlockSpec(a.shape, (lambda i, _nd=nd: (0,) * _nd),
+                         memory_space=pltpu.VMEM)
+        )
+    return specs
+
+
+def _row_spec(R, cols):
+    return pl.BlockSpec((R, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _bcast_spec(cols):
+    return pl.BlockSpec((1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _launch(kernel, arrays, blocks, R, n_chunks, out_cols, out_dtype,
+            interpret):
+    """blocks = [(array, spec), ...] leading operands; arrays = weights."""
+    in_specs = [s for _, s in blocks] + _const_specs(arrays)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=_row_spec(R, out_cols),
+        out_shape=jax.ShapeDtypeStruct((R * n_chunks, out_cols), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*[a for a, _ in blocks], *arrays)
+
+
+def _step_coeffs(
+    schedule: DiffusionSchedule, ts, prev_ts, sampler: str,
+    variance_type: str,
+) -> jnp.ndarray:
+    """[S, 1, 8] fp32 rows of precomputed scheduler scalars.
+
+    ddim (eta=0, `schedules.ddim_step` refactored around the clip):
+      x0  = a*x_t - b*eps            a = 1/sqrt(acp_t), b = sqrt(1-acp_t)*a
+      out = d*x_t + e*clip(x0)       d = sqrt(1-acp_prev)/sqrt(1-acp_t)
+                                     e = sqrt(acp_prev) - d*sqrt(acp_t)
+    ddpm (`schedules.ddpm_step`):
+      out = c0*clip(x0) + c1*x_t + sigma*noise
+    """
+    acp_t = schedule.alphas_cumprod[ts]
+    acp_prev = jnp.where(
+        prev_ts >= 0, schedule.alphas_cumprod[jnp.maximum(prev_ts, 0)], 1.0
+    )
+    a = 1.0 / jnp.sqrt(acp_t)
+    b = jnp.sqrt(1.0 - acp_t) * a
+    if sampler == "ddim":
+        d = jnp.sqrt(1.0 - acp_prev) / jnp.sqrt(1.0 - acp_t)
+        e = jnp.sqrt(acp_prev) - d * jnp.sqrt(acp_t)
+        rows = jnp.stack([a, b, d, e], axis=-1)
+    else:
+        current_alpha = acp_t / acp_prev
+        current_beta = 1.0 - current_alpha
+        c0 = jnp.sqrt(acp_prev) * current_beta / (1.0 - acp_t)
+        c1 = jnp.sqrt(current_alpha) * (1.0 - acp_prev) / (1.0 - acp_t)
+        if variance_type in ("fixed_small", "fixed_small_log"):
+            variance = jnp.maximum(
+                (1.0 - acp_prev) / (1.0 - acp_t) * current_beta, 1e-20
+            )
+        else:  # fixed_large
+            variance = current_beta
+        sigma = jnp.where(prev_ts >= 0, jnp.sqrt(jnp.maximum(variance, 0.0)),
+                          0.0)
+        rows = jnp.stack([a, b, c0, c1, sigma], axis=-1)
+    pad = 8 - rows.shape[-1]
+    rows = jnp.concatenate(
+        [rows, jnp.zeros(rows.shape[:-1] + (pad,), rows.dtype)], axis=-1
+    )
+    return rows[:, None, :].astype(jnp.float32)  # [S, 1, 8]
+
+
+def fused_sample(
+    w: Dict[str, jax.Array],
+    dims: DenoiserDims,
+    schedule: DiffusionSchedule,
+    input_emb: jax.Array,
+    rng: jax.Array,
+    batch_size: int,
+    num_inference_steps: Optional[int] = None,
+    sampler: str = "ddim",
+    variance_type: str = "fixed_large",
+    block_rows: int = 512,
+    return_trajectory: bool = False,
+    fuse_stages: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Reverse diffusion with a kernels-only scan body.
+
+    Args:
+        w: packed tree from `stacked_pallas.pack_pallas_weights`.
+        input_emb: ``[BG, Ce, emb]`` hoisted conditioning embedding
+            (``compute_input_emb`` + optional ``compute_extra_emb`` fold),
+            i.e. the pre-silu FiLM input — constant across steps.
+        rng: consumed exactly like ``GaussianDiffusion1D.sample`` (same
+            split tree), so fixed seeds reproduce the unfused sampler.
+
+    Returns:
+        ``(x0 [BG, 1, L] fp32, trajectory [S+1, BG, 1, L] or None)``.
+    """
+    if sampler not in ("ddim", "ddpm"):
+        raise ValueError(f"Unknown sampler: {sampler}")
+    if _use_xla_attention(dims):
+        raise ValueError("fused_sample requires in-kernel attention")
+    L = dims.seq_len
+    BG = batch_size
+    T = schedule.num_train_timesteps
+    S = num_inference_steps or T
+    ts = schedule.timestep_grid(S)
+    prev_ts = ts - T // S
+
+    k_init, k_loop = jax.random.split(rng)
+    x_T = jax.random.normal(k_init, (BG, L))  # fp32 carry, stacked 2-D
+
+    # per-step tables, outside the scan: time rows [S, 1, Ce*emb] and
+    # scheduler coefficient rows [S, 1, 8]
+    Ce = input_emb.shape[1]
+    t_emb = compute_time_emb(w, ts)  # [S, emb] fp32
+    trows = jnp.tile(t_emb, (1, Ce))[:, None, :]
+    coefs = _step_coeffs(schedule, ts, prev_ts, sampler, variance_type)
+
+    embin = input_emb.reshape(BG, -1).astype(jnp.float32)
+
+    dtype = w["init_W"].dtype
+    n_stages = len(dims.block_channels)
+    if isinstance(block_rows, int):
+        rs = [block_rows] * (n_stages + 1)
+    else:
+        rs = list(block_rows)
+    rs = [min(r, BG) for r in rs]
+    pad = (-BG) % max(rs)
+    if pad:  # rows are independent end-to-end; pad rows run as garbage
+        x_T = jnp.concatenate([x_T, jnp.zeros((pad, L), x_T.dtype)])
+        embin = jnp.concatenate(
+            [embin, jnp.zeros((pad, embin.shape[1]), embin.dtype)]
+        )
+    BGp = BG + pad
+
+    dim0 = w["init_W"].shape[1] // L
+    cins = [dim0] + list(dims.block_channels[:-1])
+    W_emb = embin.shape[1]
+
+    stage_names = []
+    for i, C in enumerate(cins):
+        names = _stage_weight_names(w, i, dims, C, final=False)
+        if i == 0:
+            names = ["init_W", "init_b"] + names
+        stage_names.append(names)
+    final_names = _stage_weight_names(
+        w, 0, dims, dims.block_channels[-1], final=True
+    )
+
+    if fuse_stages:
+        # ONE launch per step: init matmul + every stage + eps head +
+        # scheduler update. All weights resident; one grid pass.
+        full_names = []
+        seen = set()
+        for ns in stage_names + [final_names]:
+            for n in ns:
+                if n not in seen:
+                    seen.add(n)
+                    full_names.append(n)
+
+        def one_step_full(x, trow, coef, noise):
+            R = rs[-1]
+            blocks = [
+                (x, _row_spec(R, L)),
+                (embin, _row_spec(R, W_emb)),
+                (trow, _bcast_spec(W_emb)),
+                (coef, _bcast_spec(8)),
+            ]
+            if sampler == "ddpm":
+                blocks.append((noise, _row_spec(R, L)))
+            kern = functools.partial(
+                _full_step_kernel, full_names, dims, cins, sampler,
+                schedule.clip_sample, schedule.clip_sample_range,
+            )
+            return _launch(
+                kern, [w[n] for n in full_names], blocks, R, BGp // R, L,
+                jnp.float32, interpret,
+            )
+
+    def one_step(x, trow, coef, noise):
+        h = x
+        for i, C in enumerate(cins):
+            R = rs[i]
+            blocks = [
+                (h, _row_spec(R, h.shape[1])),
+                (embin, _row_spec(R, W_emb)),
+                (trow, _bcast_spec(W_emb)),
+            ]
+            kern = (
+                functools.partial(_stage0_kernel, stage_names[i], dims, C)
+                if i == 0
+                else functools.partial(
+                    _mid_stage_kernel, stage_names[i], dims, i, C
+                )
+            )
+            h = _launch(
+                kern, [w[n] for n in stage_names[i]], blocks, R, BGp // R,
+                L * dims.block_channels[i], dtype, interpret,
+            )
+        R = rs[-1]
+        blocks = [
+            (h, _row_spec(R, h.shape[1])),
+            (embin, _row_spec(R, W_emb)),
+            (trow, _bcast_spec(W_emb)),
+            (x, _row_spec(R, L)),
+            (coef, _bcast_spec(8)),
+        ]
+        if sampler == "ddpm":
+            blocks.append((noise, _row_spec(R, L)))
+        kern = functools.partial(
+            _final_step_kernel, final_names, dims, dims.block_channels[-1],
+            sampler, schedule.clip_sample, schedule.clip_sample_range,
+        )
+        return _launch(
+            kern, [w[n] for n in final_names], blocks, R, BGp // R, L,
+            jnp.float32, interpret,
+        )
+
+    def step(carry, inp):
+        x, key = carry
+        trow, coef = inp
+        if sampler == "ddpm":
+            key, k_noise = jax.random.split(key)
+            noise = jax.random.normal(k_noise, (BGp, L))
+        else:
+            noise = None
+        x_next = (one_step_full if fuse_stages else one_step)(
+            x, trow, coef, noise
+        )
+        return (x_next, key), (x_next if return_trajectory else None)
+
+    (x0, _), traj = jax.lax.scan(step, (x_T, k_loop), (trows, coefs))
+    x0 = x0[:BG, None, :]
+    if return_trajectory:
+        traj = jnp.concatenate([x_T[None], traj], axis=0)
+        traj = traj[:, :BG, None, :]
+    return x0, traj

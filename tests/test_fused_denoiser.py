@@ -229,6 +229,171 @@ def test_elucidated_sampler_on_stacked_path():
         )
 
 
+def test_fused_sampler_parity():
+    """The kernels-only sampler (time embedding, init matmul and the
+    DDIM/DDPM update folded into the stage kernels; zero XLA ops in the
+    scan body) reproduces `GaussianDiffusion1D.sample` over the pallas
+    denoiser — same PRNG consumption, same trajectory."""
+    from graspldm_tpu.diffusion import GaussianDiffusion1D
+    from graspldm_tpu.diffusion.schedules import DiffusionSchedule
+    from graspldm_tpu.models.pallas_sampler import fused_sample
+    from graspldm_tpu.models.stacked_denoiser import (
+        FLAGSHIP_DIMS,
+        compute_input_emb,
+    )
+    from graspldm_tpu.models.stacked_pallas import (
+        pack_pallas_weights,
+        stacked_denoiser_pallas_apply,
+    )
+
+    ddm = GraspLatentDDM(dropout=None)
+    key = jax.random.PRNGKey(41)
+    BG = 16
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = jnp.zeros((BG,), jnp.int32)
+    zc = jax.random.normal(jax.random.PRNGKey(42), (BG, 3, 64))
+    variables = ddm.init({"params": key}, x, t, zc)
+
+    schedule = DiffusionSchedule.create(
+        num_steps=40, beta_start=5e-5, beta_end=1e-3
+    )
+    w = pack_pallas_weights(variables, FLAGSHIP_DIMS, dtype=jnp.float32)
+    ie = compute_input_emb(w, zc)
+
+    for sampler in ("ddim", "ddpm"):
+        diff = GaussianDiffusion1D(schedule=schedule, n_dims=4)
+
+        def denoise(x, t, z):
+            return stacked_denoiser_pallas_apply(
+                w, x, t, z, FLAGSHIP_DIMS, block_rows=8, interpret=True,
+                input_emb=ie,
+            )
+
+        want, want_traj = diff.sample(
+            denoise, jax.random.PRNGKey(9), batch_size=BG, z_cond=zc,
+            num_inference_steps=5, sampler=sampler, return_trajectory=True,
+        )
+        got, got_traj = fused_sample(
+            w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(9),
+            batch_size=BG, num_inference_steps=5, sampler=sampler,
+            return_trajectory=True, block_rows=8, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+        )
+        assert got_traj.shape == want_traj.shape == (6, BG, 1, 4)
+        np.testing.assert_allclose(
+            np.asarray(got_traj), np.asarray(want_traj), atol=5e-4,
+            rtol=5e-4,
+        )
+
+    # padded-rows case: BG not a multiple of block_rows
+    got_pad, _ = fused_sample(
+        w, FLAGSHIP_DIMS, schedule, ie[:10], jax.random.PRNGKey(9),
+        batch_size=10, num_inference_steps=5, sampler="ddim",
+        block_rows=8, interpret=True,
+    )
+    def denoise10(x, t, z):
+        return stacked_denoiser_pallas_apply(
+            w, x, t, z, FLAGSHIP_DIMS, block_rows=2, interpret=True,
+            input_emb=ie[:10],
+        )
+    diff = GaussianDiffusion1D(schedule=schedule, n_dims=4)
+    want_pad, _ = diff.sample(
+        denoise10, jax.random.PRNGKey(9), batch_size=10, z_cond=zc[:10],
+        num_inference_steps=5, sampler="ddim",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pad), np.asarray(want_pad), atol=5e-4, rtol=5e-4
+    )
+
+
+def test_fused_sampler_fuse_stages_parity():
+    """fuse_stages=True (ONE launch per step) equals the per-stage fused
+    sampler exactly — same kernels, same math, different launch grouping."""
+    from graspldm_tpu.diffusion.schedules import DiffusionSchedule
+    from graspldm_tpu.models.pallas_sampler import fused_sample
+    from graspldm_tpu.models.stacked_denoiser import (
+        FLAGSHIP_DIMS,
+        compute_input_emb,
+    )
+    from graspldm_tpu.models.stacked_pallas import pack_pallas_weights
+
+    ddm = GraspLatentDDM(dropout=None)
+    key = jax.random.PRNGKey(61)
+    BG = 8
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = jnp.zeros((BG,), jnp.int32)
+    zc = jax.random.normal(jax.random.PRNGKey(62), (BG, 3, 64))
+    variables = ddm.init({"params": key}, x, t, zc)
+    schedule = DiffusionSchedule.create(num_steps=30)
+    w = pack_pallas_weights(variables, FLAGSHIP_DIMS, dtype=jnp.float32)
+    ie = compute_input_emb(w, zc)
+
+    for sampler in ("ddim", "ddpm"):
+        a, _ = fused_sample(
+            w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(2),
+            batch_size=BG, num_inference_steps=3, sampler=sampler,
+            block_rows=8, interpret=True,
+        )
+        b, _ = fused_sample(
+            w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(2),
+            batch_size=BG, num_inference_steps=3, sampler=sampler,
+            block_rows=8, interpret=True, fuse_stages=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_fused_sampler_z16_parity():
+    """Fused sampler at the partial-pc z16 dims (generic-L kernels)."""
+    from graspldm_tpu.diffusion import GaussianDiffusion1D
+    from graspldm_tpu.diffusion.schedules import DiffusionSchedule
+    from graspldm_tpu.models.pallas_sampler import fused_sample
+    from graspldm_tpu.models.stacked_denoiser import compute_input_emb
+    from graspldm_tpu.models.stacked_pallas import (
+        pack_pallas_weights,
+        stacked_denoiser_pallas_apply,
+    )
+
+    ddm = GraspLatentDDM(
+        dropout=None, latent_in_features=16, pc_latent_size=256
+    )
+    dims = DenoiserDims(
+        seq_len=16, block_channels=(32, 64, 128, 256), groups=4,
+        emb_dim=64, cond_channels=3, cond_dim=256, fourier_dim=16,
+    )
+    key = jax.random.PRNGKey(51)
+    BG = 8
+    x = jax.random.normal(key, (BG, 1, 16))
+    t = jnp.zeros((BG,), jnp.int32)
+    zc = jax.random.normal(jax.random.PRNGKey(52), (BG, 3, 256))
+    variables = ddm.init({"params": key}, x, t, zc)
+
+    schedule = DiffusionSchedule.create(num_steps=30)
+    w = pack_pallas_weights(variables, dims, dtype=jnp.float32)
+    ie = compute_input_emb(w, zc)
+
+    def denoise(x, t, z):
+        return stacked_denoiser_pallas_apply(
+            w, x, t, z, dims, block_rows=8, interpret=True, input_emb=ie
+        )
+
+    diff = GaussianDiffusion1D(schedule=schedule, n_dims=16)
+    want, _ = diff.sample(
+        denoise, jax.random.PRNGKey(3), batch_size=BG, z_cond=zc,
+        num_inference_steps=3, sampler="ddim",
+    )
+    got, _ = fused_sample(
+        w, dims, schedule, ie, jax.random.PRNGKey(3), batch_size=BG,
+        num_inference_steps=3, sampler="ddim", block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+    )
+
+
 def test_decoder_fast_path_parity():
     """The VAE decoder (plain conditional ResNet1D + heads) through the
     generic-L Pallas kernels matches GraspCVAE.decode exactly."""
