@@ -269,7 +269,7 @@ def fused_sample(
     variance_type: str = "fixed_large",
     block_rows: int = 512,
     return_trajectory: bool = False,
-    fuse_stages: bool = False,
+    fuse_stages: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Reverse diffusion with a kernels-only scan body.
@@ -291,6 +291,15 @@ def fused_sample(
         raise ValueError("fused_sample requires in-kernel attention")
     L = dims.seq_len
     BG = batch_size
+    if fuse_stages is None:
+        # v5e measurements (tools/bench_sampler.py, bf16, 100-step DDIM):
+        # at L=16 ONE launch per step wins everywhere (8.19 -> 7.46 ms/step
+        # at BG=8192, 32.3 -> 29.7 at BG=32768 — it removes 4 inter-stage
+        # HBM round trips of [BG, 16*C] activations); at L=4 those
+        # activations are 4x smaller and the whole-net kernel only wins
+        # once launch overhead dominates (BG <= 1024: 0.217 -> 0.173
+        # ms/step; at BG >= 4096 it LOSES ~10%).
+        fuse_stages = dims.seq_len > 4 or BG <= 1024
     T = schedule.num_train_timesteps
     S = num_inference_steps or T
     ts = schedule.timestep_grid(S)

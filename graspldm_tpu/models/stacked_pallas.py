@@ -860,13 +860,13 @@ def stacked_denoiser_pallas_apply(
             unless the caller already folded it into ``input_emb`` — the
             kernels cannot detect a missing fold themselves.
         fuse_stages: run the WHOLE network in one kernel launch instead of
-            one kernel per stage. Measured a wash-to-loss everywhere on
-            v5e (1.58-1.72 ms/step fused vs 1.58-1.61 per-stage at BG=8192
-            bf16; single-object p50 60.4 fused vs 56.5 per-stage at
-            BG=1024), so the default stays per-stage; kept for
-            R/topology experiments. The BG=1024 denoiser chain itself is
-            0.295 ms/step — the B=1 serving latency is dominated by the
-            pc ENCODE, not the sampler.
+            one kernel per stage. For THIS entry point it measured a
+            wash-to-loss everywhere on v5e (1.58-1.72 ms/step fused vs
+            1.58-1.61 per-stage at BG=8192 bf16), so the default stays
+            per-stage. NOTE: the verdict flips inside the kernels-only
+            sampler (:mod:`pallas_sampler`), where the single-launch step
+            wins at L=16 everywhere and at L=4 for BG <= 1024 — see
+            `fused_sample`'s auto policy.
     """
     in_dtype = x.dtype
     dtype = w["init_W"].dtype

@@ -45,6 +45,11 @@ def main():
         if "--steps" in sys.argv
         else 100
     )
+    rows = (
+        int(sys.argv[sys.argv.index("--rows") + 1])
+        if "--rows" in sys.argv
+        else 512
+    )
     L, cond = (16, 256) if z16 else (4, 64)
     dims = DenoiserDims(
         seq_len=L, block_channels=(32, 64, 128, 256), groups=4,
@@ -72,7 +77,7 @@ def main():
     def run_scan(ie, key):
         def denoise(x, t, z):
             return stacked_denoiser_pallas_apply(
-                w, x, t, z, dims, input_emb=ie
+                w, x, t, z, dims, block_rows=rows, input_emb=ie
             )
 
         x0, _ = diff.sample(
@@ -85,7 +90,8 @@ def main():
     def run_fused(ie, key):
         x0, _ = fused_sample(
             w, dims, schedule, ie, key, batch_size=BG,
-            num_inference_steps=steps, sampler="ddim",
+            num_inference_steps=steps, sampler="ddim", block_rows=rows,
+            fuse_stages=False,
         )
         return x0
 
@@ -93,7 +99,7 @@ def main():
     def run_fused1(ie, key):
         x0, _ = fused_sample(
             w, dims, schedule, ie, key, batch_size=BG,
-            num_inference_steps=steps, sampler="ddim",
+            num_inference_steps=steps, sampler="ddim", block_rows=rows,
             fuse_stages=True,
         )
         return x0
