@@ -374,26 +374,37 @@ def ldm_generate(
     # becomes n_stages+1 `pallas_call`s with ZERO XLA ops
     # (models/pallas_sampler.py). Opt out with GRASPLDM_FUSED_SAMPLER=0.
     resolved_impl = _resolve_denoiser_impl(ddm, cond_kwargs, denoiser_impl)
+    is_elucidated = isinstance(diffusion, ElucidatedDiffusion)
     use_fused = (
         resolved_impl == "pallas"
-        and not isinstance(diffusion, ElucidatedDiffusion)
-        and sampler in ("ddim", "ddpm")
+        and (
+            (not is_elucidated and sampler in ("ddim", "ddpm"))
+            or (is_elucidated and sampler == "dpmpp")
+        )
         and os.environ.get("GRASPLDM_FUSED_SAMPLER", "1") != "0"
     )
     if use_fused:
-        from ..models.pallas_sampler import fused_sample
+        from ..models.pallas_sampler import fused_sample, fused_sample_dpmpp
 
         w, dims, input_emb, _ = _pallas_pack(
             ddm, ddm_variables, cond_kwargs, z_pc_rep
         )
-        x0, traj = fused_sample(
-            w, dims, diffusion.schedule, input_emb, rng,
-            batch_size=B * num_grasps,
-            num_inference_steps=num_inference_steps,
-            sampler=sampler,
-            variance_type=diffusion.variance_type,
-            return_trajectory=return_trajectory,
-        )
+        if is_elucidated:
+            x0, traj = fused_sample_dpmpp(
+                w, dims, diffusion, input_emb, rng,
+                batch_size=B * num_grasps,
+                num_sample_steps=num_inference_steps,
+                return_trajectory=return_trajectory,
+            )
+        else:
+            x0, traj = fused_sample(
+                w, dims, diffusion.schedule, input_emb, rng,
+                batch_size=B * num_grasps,
+                num_inference_steps=num_inference_steps,
+                sampler=sampler,
+                variance_type=diffusion.variance_type,
+                return_trajectory=return_trajectory,
+            )
         decode_fn = _make_decode_fn(vae, vae_variables, decoder_impl)
         return _finish_ldm(
             vae, vae_variables, x0, traj, z_pc_rep, num_grasps, meta,

@@ -51,7 +51,7 @@ from .stacked_pallas import (
 )
 from ..diffusion.schedules import DiffusionSchedule
 
-__all__ = ["fused_sample"]
+__all__ = ["fused_sample", "fused_sample_dpmpp"]
 
 
 def _silu_f32_to(x, dtype):
@@ -173,6 +173,87 @@ def _final_step_kernel(names, dims, C, sampler, clip, clip_range, *refs):
 
 
 # ---------------------------------------------------------------------------
+# DPM-Solver++(2M) kernels (EDM preconditioning folded in)
+# ---------------------------------------------------------------------------
+
+
+def _stage0_dpmpp_kernel(names, dims, C, *refs):
+    """c_in scaling + init matmul + stage 0. Matches `_stage0_kernel` with
+    the EDM input preconditioning ``x_in = c_in * x`` folded in."""
+    x_ref, embin_ref, trow_ref, coef_ref = refs[:4]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[4:-1])}
+    L = dims.seq_len
+    dtype = g["init_W"].dtype
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], dtype)
+    cin = coef_ref[...].astype(jnp.float32)[:, 0:1]
+    x_in = (cin * x_ref[...].astype(jnp.float32)).astype(dtype)
+    x = _mmd(x_in, g["init_W"], dtype) + g["init_b"]
+    x = _resblock_k(x, emb, g, "b0r1", L, C, dims.cond_channels)
+    x = _resblock_k(x, emb, g, "b0r2", L, C, dims.cond_channels)
+    x = _attention_k(x, g, 0, L, C, dims.heads, dims.dim_head)
+    out_ref[...] = _conv3_k(x, g, "b0_proj", L, C, x.dtype)
+
+
+def _dpmpp_update(net_out, xt_ref, old_ref, coef_ref, clamp):
+    """(x_new, denoised) from the 2M update (`elucidated.py:203-225`),
+    all step constants precomputed into the coefficient row."""
+    xt = xt_ref[...].astype(jnp.float32)
+    old = old_ref[...].astype(jnp.float32)
+    c = coef_ref[...].astype(jnp.float32)  # [1, 8]
+    cskip, cout = c[:, 1:2], c[:, 2:3]
+    g1, g2 = c[:, 3:4], c[:, 4:5]
+    ratio, em1 = c[:, 5:6], c[:, 6:7]
+    denoised = cskip * xt + cout * net_out
+    if clamp:
+        denoised = jnp.clip(denoised, -1.0, 1.0)
+    denoised_d = g1 * denoised + g2 * old
+    x_new = ratio * xt - em1 * denoised_d
+    return x_new, denoised
+
+
+def _final_dpmpp_kernel(names, dims, C, clamp, *refs):
+    """final resblock + eps head + EDM output precond + 2M update.
+
+    Two outputs: ``x_{i+1}`` and ``denoised`` (the next old_denoised)."""
+    h_ref, embin_ref, trow_ref, xt_ref, old_ref, coef_ref = refs[:6]
+    x_out_ref, den_out_ref = refs[-2], refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[6:-2])}
+    L = dims.seq_len
+    h = h_ref[...]
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], h.dtype)
+    h = _resblock_k(h, emb, g, "final", L, C, dims.cond_channels)
+    net = (_mmd(h, g["final_W"], h.dtype) + g["final_b"]).astype(jnp.float32)
+    x_new, denoised = _dpmpp_update(net, xt_ref, old_ref, coef_ref, clamp)
+    x_out_ref[...] = x_new
+    den_out_ref[...] = denoised
+
+
+def _full_dpmpp_kernel(names, dims, cins, clamp, *refs):
+    """The entire DPM++ step in one launch (fuse_stages variant)."""
+    xt_ref, embin_ref, trow_ref, old_ref, coef_ref = refs[:5]
+    x_out_ref, den_out_ref = refs[-2], refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[5:-2])}
+    L = dims.seq_len
+    dtype = g["init_W"].dtype
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], dtype)
+    cin = coef_ref[...].astype(jnp.float32)[:, 0:1]
+    x = (cin * xt_ref[...].astype(jnp.float32)).astype(dtype)
+    x = _mmd(x, g["init_W"], dtype) + g["init_b"]
+    for i, C in enumerate(cins):
+        x = _resblock_k(x, emb, g, f"b{i}r1", L, C, dims.cond_channels)
+        x = _resblock_k(x, emb, g, f"b{i}r2", L, C, dims.cond_channels)
+        x = _attention_k(x, g, i, L, C, dims.heads, dims.dim_head)
+        x = _conv3_k(x, g, f"b{i}_proj", L, C, x.dtype)
+    x = _resblock_k(x, emb, g, "final", L, dims.block_channels[-1],
+                    dims.cond_channels)
+    net = (_mmd(x, g["final_W"], x.dtype) + g["final_b"]).astype(jnp.float32)
+    x_new, denoised = _dpmpp_update(net, xt_ref, old_ref, coef_ref, clamp)
+    x_out_ref[...] = x_new
+    den_out_ref[...] = denoised
+
+
+# ---------------------------------------------------------------------------
 # launch plumbing
 # ---------------------------------------------------------------------------
 
@@ -206,6 +287,23 @@ def _launch(kernel, arrays, blocks, R, n_chunks, out_cols, out_dtype,
         in_specs=in_specs,
         out_specs=_row_spec(R, out_cols),
         out_shape=jax.ShapeDtypeStruct((R * n_chunks, out_cols), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*[a for a, _ in blocks], *arrays)
+
+
+def _launch2(kernel, arrays, blocks, R, n_chunks, out_cols, interpret):
+    """Two-output variant of `_launch` (x_new + denoised, both fp32)."""
+    in_specs = [s for _, s in blocks] + _const_specs(arrays)
+    shape = jax.ShapeDtypeStruct((R * n_chunks, out_cols), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=[_row_spec(R, out_cols), _row_spec(R, out_cols)],
+        out_shape=[shape, shape],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -433,4 +531,180 @@ def fused_sample(
     if return_trajectory:
         traj = jnp.concatenate([x_T[None], traj], axis=0)
         traj = traj[:, :BG, None, :]
+    return x0, traj
+
+
+def fused_sample_dpmpp(
+    w: Dict[str, jax.Array],
+    dims: DenoiserDims,
+    ed,
+    input_emb: jax.Array,
+    rng: jax.Array,
+    batch_size: int,
+    num_sample_steps: Optional[int] = None,
+    clamp: bool = False,
+    block_rows: int = 512,
+    return_trajectory: bool = False,
+    fuse_stages: Optional[bool] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """DPM-Solver++(2M) with a kernels-only scan body.
+
+    Mirrors ``ElucidatedDiffusion.sample_dpmpp`` exactly (same PRNG
+    consumption, same update): the EDM preconditioning (c_in into stage 0;
+    c_skip/c_out into the final kernel), the 2M multistep combination and
+    the sigma-ratio update all reduce to per-step coefficient rows; the
+    time embedding rows come from ``c_noise(sigma_i)``.
+
+    Args:
+        ed: the :class:`~graspldm_tpu.diffusion.ElucidatedDiffusion`
+            process (schedule + preconditioning constants).
+    """
+    if _use_xla_attention(dims):
+        raise ValueError("fused_sample_dpmpp requires in-kernel attention")
+    L = dims.seq_len
+    BG = batch_size
+    if fuse_stages is None:
+        fuse_stages = dims.seq_len > 4 or BG <= 1024
+    N = num_sample_steps or ed.num_sample_steps
+    sigmas = ed.sample_schedule(N)  # [N+1]
+    sig_i, sig_next = sigmas[:-1], sigmas[1:]
+    sig_prev = jnp.concatenate([sig_i[:1], sig_i[:-1]])
+
+    def t_fn(s):
+        return -jnp.log(jnp.maximum(s, 1e-20))
+
+    t_i, t_next = t_fn(sig_i), t_fn(sig_next)
+    h = t_next - t_i
+    h_last = t_i - t_fn(sig_prev)
+    r = h_last / jnp.where(h == 0, 1e-20, h)
+    gamma = -1.0 / (2.0 * jnp.where(r == 0, 1e-20, r))
+    use_first = jnp.logical_or(jnp.arange(N) == 0, sig_next == 0.0)
+    g1 = jnp.where(use_first, 1.0, 1.0 - gamma)
+    g2 = jnp.where(use_first, 0.0, gamma)
+    ratio = jnp.maximum(sig_next, 1e-20) / jnp.maximum(sig_i, 1e-20)
+    em1 = jnp.expm1(-h)
+    coefs = jnp.stack(
+        [ed.c_in(sig_i), ed.c_skip(sig_i), ed.c_out(sig_i), g1, g2, ratio,
+         em1, jnp.zeros_like(h)],
+        axis=-1,
+    )[:, None, :].astype(jnp.float32)  # [N, 1, 8]
+
+    Ce = input_emb.shape[1]
+    t_emb = compute_time_emb(w, ed.c_noise(sig_i))
+    trows = jnp.tile(t_emb, (1, Ce))[:, None, :]
+
+    k_init, _ = jax.random.split(rng)
+    x_T = sigmas[0] * jax.random.normal(k_init, (BG, L))
+    embin = input_emb.reshape(BG, -1).astype(jnp.float32)
+
+    dtype = w["init_W"].dtype
+    n_stages = len(dims.block_channels)
+    rs = (
+        [block_rows] * (n_stages + 1)
+        if isinstance(block_rows, int)
+        else list(block_rows)
+    )
+    rs = [min(r, BG) for r in rs]
+    pad = (-BG) % max(rs)
+    if pad:
+        x_T = jnp.concatenate([x_T, jnp.zeros((pad, L), x_T.dtype)])
+        embin = jnp.concatenate(
+            [embin, jnp.zeros((pad, embin.shape[1]), embin.dtype)]
+        )
+    BGp = BG + pad
+    W_emb = embin.shape[1]
+
+    dim0 = w["init_W"].shape[1] // L
+    cins = [dim0] + list(dims.block_channels[:-1])
+    stage_names = []
+    for i, C in enumerate(cins):
+        names = _stage_weight_names(w, i, dims, C, final=False)
+        if i == 0:
+            names = ["init_W", "init_b"] + names
+        stage_names.append(names)
+    final_names = _stage_weight_names(
+        w, 0, dims, dims.block_channels[-1], final=True
+    )
+
+    if fuse_stages:
+        full_names = []
+        seen = set()
+        for ns in stage_names + [final_names]:
+            for n in ns:
+                if n not in seen:
+                    seen.add(n)
+                    full_names.append(n)
+
+        def one_step(x, old, trow, coef):
+            R = rs[-1]
+            blocks = [
+                (x, _row_spec(R, L)),
+                (embin, _row_spec(R, W_emb)),
+                (trow, _bcast_spec(W_emb)),
+                (old, _row_spec(R, L)),
+                (coef, _bcast_spec(8)),
+            ]
+            kern = functools.partial(
+                _full_dpmpp_kernel, full_names, dims, cins, clamp
+            )
+            return _launch2(
+                kern, [w[n] for n in full_names], blocks, R, BGp // R, L,
+                interpret,
+            )
+
+    else:
+
+        def one_step(x, old, trow, coef):
+            act = x
+            for i, C in enumerate(cins):
+                R = rs[i]
+                blocks = [
+                    (act, _row_spec(R, act.shape[1])),
+                    (embin, _row_spec(R, W_emb)),
+                    (trow, _bcast_spec(W_emb)),
+                ]
+                if i == 0:
+                    blocks.append((coef, _bcast_spec(8)))
+                    kern = functools.partial(
+                        _stage0_dpmpp_kernel, stage_names[i], dims, C
+                    )
+                else:
+                    kern = functools.partial(
+                        _mid_stage_kernel, stage_names[i], dims, i, C
+                    )
+                act = _launch(
+                    kern, [w[n] for n in stage_names[i]], blocks, R,
+                    BGp // R, L * dims.block_channels[i], dtype, interpret,
+                )
+            R = rs[-1]
+            blocks = [
+                (act, _row_spec(R, act.shape[1])),
+                (embin, _row_spec(R, W_emb)),
+                (trow, _bcast_spec(W_emb)),
+                (x, _row_spec(R, L)),
+                (old, _row_spec(R, L)),
+                (coef, _bcast_spec(8)),
+            ]
+            kern = functools.partial(
+                _final_dpmpp_kernel, final_names, dims,
+                dims.block_channels[-1], clamp,
+            )
+            return _launch2(
+                kern, [w[n] for n in final_names], blocks, R, BGp // R, L,
+                interpret,
+            )
+
+    def step(carry, inp):
+        x, old = carry
+        trow, coef = inp
+        x_new, denoised = one_step(x, old, trow, coef)
+        return (x_new, denoised), (x_new if return_trajectory else None)
+
+    (x0, _), traj = jax.lax.scan(
+        step, (x_T, jnp.zeros_like(x_T)), (trows, coefs)
+    )
+    x0 = x0[:BG, None, :]
+    if return_trajectory:
+        traj = traj[:, :BG, None, :]  # sample_dpmpp does not prepend x_T
     return x0, traj
