@@ -377,20 +377,26 @@ def ldm_generate(
     is_elucidated = isinstance(diffusion, ElucidatedDiffusion)
     use_fused = (
         resolved_impl == "pallas"
-        and (
-            (not is_elucidated and sampler in ("ddim", "ddpm"))
-            or (is_elucidated and sampler == "dpmpp")
-        )
+        and (is_elucidated or sampler in ("ddim", "ddpm"))
         and os.environ.get("GRASPLDM_FUSED_SAMPLER", "1") != "0"
     )
     if use_fused:
-        from ..models.pallas_sampler import fused_sample, fused_sample_dpmpp
+        from ..models.pallas_sampler import (
+            fused_sample,
+            fused_sample_churn,
+            fused_sample_dpmpp,
+        )
 
         w, dims, input_emb, _ = _pallas_pack(
             ddm, ddm_variables, cond_kwargs, z_pc_rep
         )
         if is_elucidated:
-            x0, traj = fused_sample_dpmpp(
+            # `sampler == "dpmpp"` selects DPM-Solver++(2M); anything else
+            # is the stochastic churn sampler, matching `diffusion.sample`
+            fused_ed = (
+                fused_sample_dpmpp if sampler == "dpmpp" else fused_sample_churn
+            )
+            x0, traj = fused_ed(
                 w, dims, diffusion, input_emb, rng,
                 batch_size=B * num_grasps,
                 num_sample_steps=num_inference_steps,

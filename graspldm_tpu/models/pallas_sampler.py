@@ -51,7 +51,7 @@ from .stacked_pallas import (
 )
 from ..diffusion.schedules import DiffusionSchedule
 
-__all__ = ["fused_sample", "fused_sample_dpmpp"]
+__all__ = ["fused_sample", "fused_sample_dpmpp", "fused_sample_churn"]
 
 
 def _silu_f32_to(x, dtype):
@@ -251,6 +251,142 @@ def _full_dpmpp_kernel(names, dims, cins, clamp, *refs):
     x_new, denoised = _dpmpp_update(net, xt_ref, old_ref, coef_ref, clamp)
     x_out_ref[...] = x_new
     den_out_ref[...] = denoised
+
+
+# ---------------------------------------------------------------------------
+# EDM churn (stochastic Heun) kernels — two net evaluations per step
+# ---------------------------------------------------------------------------
+#
+# Per-step math (`elucidated.py:141-168`; all greek constants static):
+#   x_hat = x + s_eps * noise                    s_eps = sqrt(sh^2 - s^2)
+#   denA  = cskipA*x_hat + coutA*net(cinA*x_hat, c_noise(sh))
+#   d     = (x_hat - denA) * inv_sh
+#   x_eul = x_hat + dsc * d                      dsc = s_next - s_hat
+#   denB  = cskipB*x_eul + coutB*net(cinB*x_eul, c_noise(s_next))
+#   d'    = (x_eul - denB) * inv_sn
+#   x_new = sel * (x_hat + 0.5*dsc*(d + d')) + (1-sel) * x_eul
+# coefA row: [cinA, cskipA, coutA, s_eps, dsc, inv_sh, 0, 0]
+# coefB row: [cinB, cskipB, coutB, s_eps, hh=0.5*dsc, inv_sn, sel, 0]
+
+
+def _xhat(x_ref, noise_ref, c):
+    return (
+        x_ref[...].astype(jnp.float32)
+        + c[:, 3:4] * noise_ref[...].astype(jnp.float32)
+    )
+
+
+def _stage0_churn_a_kernel(names, dims, C, *refs):
+    """x_hat from (x, noise) + c_in scaling + init matmul + stage 0."""
+    x_ref, noise_ref, embin_ref, trow_ref, coef_ref = refs[:5]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[5:-1])}
+    L = dims.seq_len
+    dtype = g["init_W"].dtype
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], dtype)
+    c = coef_ref[...].astype(jnp.float32)
+    x_in = (c[:, 0:1] * _xhat(x_ref, noise_ref, c)).astype(dtype)
+    x = _mmd(x_in, g["init_W"], dtype) + g["init_b"]
+    x = _resblock_k(x, emb, g, "b0r1", L, C, dims.cond_channels)
+    x = _resblock_k(x, emb, g, "b0r2", L, C, dims.cond_channels)
+    x = _attention_k(x, g, 0, L, C, dims.heads, dims.dim_head)
+    out_ref[...] = _conv3_k(x, g, "b0_proj", L, C, x.dtype)
+
+
+def _churn_a_update(netA, x_ref, noise_ref, coef_ref, clamp):
+    """(x_eul, d) from the Euler half-step."""
+    c = coef_ref[...].astype(jnp.float32)
+    x_hat = _xhat(x_ref, noise_ref, c)
+    den = c[:, 1:2] * x_hat + c[:, 2:3] * netA
+    if clamp:
+        den = jnp.clip(den, -1.0, 1.0)
+    d = (x_hat - den) * c[:, 5:6]
+    return x_hat + c[:, 4:5] * d, d
+
+
+def _final_churn_a_kernel(names, dims, C, clamp, *refs):
+    h_ref, embin_ref, trow_ref, x_ref, noise_ref, coef_ref = refs[:6]
+    xe_out, d_out = refs[-2], refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[6:-2])}
+    L = dims.seq_len
+    h = h_ref[...]
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], h.dtype)
+    h = _resblock_k(h, emb, g, "final", L, C, dims.cond_channels)
+    net = (_mmd(h, g["final_W"], h.dtype) + g["final_b"]).astype(jnp.float32)
+    x_eul, d = _churn_a_update(net, x_ref, noise_ref, coef_ref, clamp)
+    xe_out[...] = x_eul
+    d_out[...] = d
+
+
+def _churn_b_update(netB, x_eul_ref, d_ref, x_ref, noise_ref, coef_ref,
+                    clamp):
+    """x_new from the Heun correction (static first/last-step select)."""
+    c = coef_ref[...].astype(jnp.float32)
+    x_eul = x_eul_ref[...].astype(jnp.float32)
+    den = c[:, 1:2] * x_eul + c[:, 2:3] * netB
+    if clamp:
+        den = jnp.clip(den, -1.0, 1.0)
+    d_prime = (x_eul - den) * c[:, 5:6]
+    x_hat = _xhat(x_ref, noise_ref, c)
+    x_heun = x_hat + c[:, 4:5] * (d_ref[...].astype(jnp.float32) + d_prime)
+    sel = c[:, 6:7]
+    return sel * x_heun + (1.0 - sel) * x_eul
+
+
+def _final_churn_b_kernel(names, dims, C, clamp, *refs):
+    (h_ref, embin_ref, trow_ref, x_eul_ref, d_ref, x_ref, noise_ref,
+     coef_ref) = refs[:8]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[8:-1])}
+    L = dims.seq_len
+    h = h_ref[...]
+    emb = _emb_from_row(embin_ref[...], trow_ref[...], h.dtype)
+    h = _resblock_k(h, emb, g, "final", L, C, dims.cond_channels)
+    net = (_mmd(h, g["final_W"], h.dtype) + g["final_b"]).astype(jnp.float32)
+    out_ref[...] = _churn_b_update(
+        net, x_eul_ref, d_ref, x_ref, noise_ref, coef_ref, clamp
+    )
+
+
+def _net_in_kernel(x, emb, g, dims, cins):
+    """Shared whole-net body on VMEM values (init matmul .. eps head)."""
+    L = dims.seq_len
+    dtype = g["init_W"].dtype
+    h = _mmd(x.astype(dtype), g["init_W"], dtype) + g["init_b"]
+    for i, C in enumerate(cins):
+        h = _resblock_k(h, emb, g, f"b{i}r1", L, C, dims.cond_channels)
+        h = _resblock_k(h, emb, g, f"b{i}r2", L, C, dims.cond_channels)
+        h = _attention_k(h, g, i, L, C, dims.heads, dims.dim_head)
+        h = _conv3_k(h, g, f"b{i}_proj", L, C, h.dtype)
+    h = _resblock_k(h, emb, g, "final", L, dims.block_channels[-1],
+                    dims.cond_channels)
+    return (_mmd(h, g["final_W"], h.dtype) + g["final_b"]).astype(jnp.float32)
+
+
+def _full_churn_kernel(names, dims, cins, clamp, *refs):
+    """One launch for the WHOLE churn step — both net evaluations."""
+    (x_ref, noise_ref, embin_ref, trowA_ref, trowB_ref, coefA_ref,
+     coefB_ref) = refs[:7]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[7:-1])}
+    dtype = g["init_W"].dtype
+    cA = coefA_ref[...].astype(jnp.float32)
+    embA = _emb_from_row(embin_ref[...], trowA_ref[...], dtype)
+    netA = _net_in_kernel(
+        cA[:, 0:1] * _xhat(x_ref, noise_ref, cA), embA, g, dims, cins
+    )
+    x_eul, d = _churn_a_update(netA, x_ref, noise_ref, coefA_ref, clamp)
+    cB = coefB_ref[...].astype(jnp.float32)
+    embB = _emb_from_row(embin_ref[...], trowB_ref[...], dtype)
+    netB = _net_in_kernel(cB[:, 0:1] * x_eul, embB, g, dims, cins)
+    den = cB[:, 1:2] * x_eul + cB[:, 2:3] * netB
+    if clamp:
+        den = jnp.clip(den, -1.0, 1.0)
+    d_prime = (x_eul - den) * cB[:, 5:6]
+    x_hat = _xhat(x_ref, noise_ref, cB)
+    x_heun = x_hat + cB[:, 4:5] * (d + d_prime)
+    sel = cB[:, 6:7]
+    out_ref[...] = sel * x_heun + (1.0 - sel) * x_eul
 
 
 # ---------------------------------------------------------------------------
@@ -707,4 +843,237 @@ def fused_sample_dpmpp(
     x0 = x0[:BG, None, :]
     if return_trajectory:
         traj = traj[:, :BG, None, :]  # sample_dpmpp does not prepend x_T
+    return x0, traj
+
+
+def fused_sample_churn(
+    w: Dict[str, jax.Array],
+    dims: DenoiserDims,
+    ed,
+    input_emb: jax.Array,
+    rng: jax.Array,
+    batch_size: int,
+    num_sample_steps: Optional[int] = None,
+    clamp: bool = False,
+    block_rows: int = 512,
+    return_trajectory: bool = False,
+    fuse_stages: Optional[bool] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """EDM stochastic churn sampler (Heun) with a kernels-only scan body.
+
+    Mirrors ``ElucidatedDiffusion.sample_churn`` exactly (same PRNG
+    consumption): per step the only XLA op is the normal draw; the churn
+    injection, both preconditioned net evaluations, the Euler half-step
+    and the Heun correction run inside the kernels, driven by two
+    precomputed coefficient rows (the sigma_hat leg and the sigma_next
+    leg). ``fuse_stages`` runs the WHOLE two-evaluation step in one
+    launch.
+    """
+    import math as _math
+
+    if _use_xla_attention(dims):
+        raise ValueError("fused_sample_churn requires in-kernel attention")
+    L = dims.seq_len
+    BG = batch_size
+    if fuse_stages is None:
+        fuse_stages = dims.seq_len > 4 or BG <= 1024
+    N = num_sample_steps or ed.num_sample_steps
+    sigmas = ed.sample_schedule(N)  # [N+1]
+    gammas = jnp.where(
+        (sigmas >= ed.S_tmin) & (sigmas <= ed.S_tmax),
+        min(ed.S_churn / N, _math.sqrt(2.0) - 1.0),
+        0.0,
+    )
+    sig, sig_next, gamma = sigmas[:-1], sigmas[1:], gammas[:-1]
+    sigma_hat = sig + gamma * sig
+    # eps = S_noise * normal folds into the coefficient (scaling commutes
+    # with the draw, so PRNG parity with the reference sampler holds)
+    s_eps = jnp.sqrt(jnp.maximum(sigma_hat**2 - sig**2, 0.0)) * ed.S_noise
+    dsc = sig_next - sigma_hat
+    zeros = jnp.zeros_like(sig)
+    coefA = jnp.stack(
+        [ed.c_in(sigma_hat), ed.c_skip(sigma_hat), ed.c_out(sigma_hat),
+         s_eps, dsc, 1.0 / sigma_hat, zeros, zeros], axis=-1,
+    )[:, None, :].astype(jnp.float32)
+    coefB = jnp.stack(
+        [ed.c_in(sig_next), ed.c_skip(sig_next), ed.c_out(sig_next),
+         s_eps, 0.5 * dsc, 1.0 / jnp.maximum(sig_next, 1e-12),
+         (sig_next != 0.0).astype(jnp.float32), zeros], axis=-1,
+    )[:, None, :].astype(jnp.float32)
+
+    Ce = input_emb.shape[1]
+    trowsA = jnp.tile(compute_time_emb(w, ed.c_noise(sigma_hat)), (1, Ce))[
+        :, None, :
+    ]
+    trowsB = jnp.tile(compute_time_emb(w, ed.c_noise(sig_next)), (1, Ce))[
+        :, None, :
+    ]
+
+    k_init, k_loop = jax.random.split(rng)
+    x_T = sigmas[0] * jax.random.normal(k_init, (BG, L))
+    embin = input_emb.reshape(BG, -1).astype(jnp.float32)
+
+    dtype = w["init_W"].dtype
+    n_stages = len(dims.block_channels)
+    rs = (
+        [block_rows] * (n_stages + 1)
+        if isinstance(block_rows, int)
+        else list(block_rows)
+    )
+    rs = [min(r, BG) for r in rs]
+    pad = (-BG) % max(rs)
+    if pad:
+        x_T = jnp.concatenate([x_T, jnp.zeros((pad, L), x_T.dtype)])
+        embin = jnp.concatenate(
+            [embin, jnp.zeros((pad, embin.shape[1]), embin.dtype)]
+        )
+    BGp = BG + pad
+    W_emb = embin.shape[1]
+
+    dim0 = w["init_W"].shape[1] // L
+    cins = [dim0] + list(dims.block_channels[:-1])
+    stage_names = []
+    for i, C in enumerate(cins):
+        names = _stage_weight_names(w, i, dims, C, final=False)
+        if i == 0:
+            names = ["init_W", "init_b"] + names
+        stage_names.append(names)
+    final_names = _stage_weight_names(
+        w, 0, dims, dims.block_channels[-1], final=True
+    )
+
+    def run_mids(act, trow):
+        for i, C in enumerate(cins):
+            if i == 0:
+                continue
+            R = rs[i]
+            act = _launch(
+                functools.partial(
+                    _mid_stage_kernel, stage_names[i], dims, i, C
+                ),
+                [w[n] for n in stage_names[i]],
+                [
+                    (act, _row_spec(R, act.shape[1])),
+                    (embin, _row_spec(R, W_emb)),
+                    (trow, _bcast_spec(W_emb)),
+                ],
+                R, BGp // R, L * dims.block_channels[i], dtype, interpret,
+            )
+        return act
+
+    if fuse_stages:
+        full_names = []
+        seen = set()
+        for ns in stage_names + [final_names]:
+            for n in ns:
+                if n not in seen:
+                    seen.add(n)
+                    full_names.append(n)
+
+        def one_step(x, noise, trowA, trowB, cA, cB):
+            R = rs[-1]
+            blocks = [
+                (x, _row_spec(R, L)),
+                (noise, _row_spec(R, L)),
+                (embin, _row_spec(R, W_emb)),
+                (trowA, _bcast_spec(W_emb)),
+                (trowB, _bcast_spec(W_emb)),
+                (cA, _bcast_spec(8)),
+                (cB, _bcast_spec(8)),
+            ]
+            return _launch(
+                functools.partial(
+                    _full_churn_kernel, full_names, dims, cins, clamp
+                ),
+                [w[n] for n in full_names], blocks, R, BGp // R, L,
+                jnp.float32, interpret,
+            )
+
+    else:
+
+        def one_step(x, noise, trowA, trowB, cA, cB):
+            # chain A (sigma_hat leg): churn injection + Euler half-step
+            R0 = rs[0]
+            act = _launch(
+                functools.partial(
+                    _stage0_churn_a_kernel, stage_names[0], dims, cins[0]
+                ),
+                [w[n] for n in stage_names[0]],
+                [
+                    (x, _row_spec(R0, L)),
+                    (noise, _row_spec(R0, L)),
+                    (embin, _row_spec(R0, W_emb)),
+                    (trowA, _bcast_spec(W_emb)),
+                    (cA, _bcast_spec(8)),
+                ],
+                R0, BGp // R0, L * dims.block_channels[0], dtype, interpret,
+            )
+            act = run_mids(act, trowA)
+            R = rs[-1]
+            x_eul, d = _launch2(
+                functools.partial(
+                    _final_churn_a_kernel, final_names, dims,
+                    dims.block_channels[-1], clamp,
+                ),
+                [w[n] for n in final_names],
+                [
+                    (act, _row_spec(R, act.shape[1])),
+                    (embin, _row_spec(R, W_emb)),
+                    (trowA, _bcast_spec(W_emb)),
+                    (x, _row_spec(R, L)),
+                    (noise, _row_spec(R, L)),
+                    (cA, _bcast_spec(8)),
+                ],
+                R, BGp // R, L, interpret,
+            )
+            # chain B (sigma_next leg): Heun correction
+            act = _launch(
+                functools.partial(
+                    _stage0_dpmpp_kernel, stage_names[0], dims, cins[0]
+                ),
+                [w[n] for n in stage_names[0]],
+                [
+                    (x_eul, _row_spec(R0, L)),
+                    (embin, _row_spec(R0, W_emb)),
+                    (trowB, _bcast_spec(W_emb)),
+                    (cB, _bcast_spec(8)),
+                ],
+                R0, BGp // R0, L * dims.block_channels[0], dtype, interpret,
+            )
+            act = run_mids(act, trowB)
+            return _launch(
+                functools.partial(
+                    _final_churn_b_kernel, final_names, dims,
+                    dims.block_channels[-1], clamp,
+                ),
+                [w[n] for n in final_names],
+                [
+                    (act, _row_spec(R, act.shape[1])),
+                    (embin, _row_spec(R, W_emb)),
+                    (trowB, _bcast_spec(W_emb)),
+                    (x_eul, _row_spec(R, L)),
+                    (d, _row_spec(R, L)),
+                    (x, _row_spec(R, L)),
+                    (noise, _row_spec(R, L)),
+                    (cB, _bcast_spec(8)),
+                ],
+                R, BGp // R, L, jnp.float32, interpret,
+            )
+
+    def step(carry, inp):
+        x, key = carry
+        trowA, trowB, cA, cB = inp
+        key, k_eps = jax.random.split(key)
+        noise = jax.random.normal(k_eps, (BGp, L))
+        x_new = one_step(x, noise, trowA, trowB, cA, cB)
+        return (x_new, key), (x_new if return_trajectory else None)
+
+    (x0, _), traj = jax.lax.scan(
+        step, (x_T, k_loop), (trowsA, trowsB, coefA, coefB)
+    )
+    x0 = x0[:BG, None, :]
+    if return_trajectory:
+        traj = jnp.concatenate([x_T[None], traj], axis=0)
+        traj = traj[:, :BG, None, :]
     return x0, traj

@@ -447,6 +447,59 @@ def test_fused_dpmpp_sampler_parity():
         )
 
 
+def test_fused_churn_sampler_parity():
+    """The kernels-only EDM churn sampler (stochastic Heun; two net
+    evaluations per step) reproduces `ElucidatedDiffusion.sample_churn`,
+    per-stage and single-launch — same PRNG consumption."""
+    from graspldm_tpu.diffusion import ElucidatedDiffusion
+    from graspldm_tpu.models.pallas_sampler import fused_sample_churn
+    from graspldm_tpu.models.stacked_denoiser import (
+        FLAGSHIP_DIMS,
+        compute_input_emb,
+    )
+    from graspldm_tpu.models.stacked_pallas import (
+        pack_pallas_weights,
+        stacked_denoiser_pallas_apply,
+    )
+
+    ddm = GraspLatentDDM(dropout=None)
+    key = jax.random.PRNGKey(81)
+    BG = 8
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = jnp.zeros((BG,), jnp.int32)
+    zc = jax.random.normal(jax.random.PRNGKey(82), (BG, 3, 64))
+    variables = ddm.init({"params": key}, x, t, zc)
+    w = pack_pallas_weights(variables, FLAGSHIP_DIMS, dtype=jnp.float32)
+    ie = compute_input_emb(w, zc)
+
+    ed = ElucidatedDiffusion(n_dims=4, num_sample_steps=4)
+
+    def denoise(x, t, z):
+        return stacked_denoiser_pallas_apply(
+            w, x, t, z, FLAGSHIP_DIMS, block_rows=8, interpret=True,
+            input_emb=ie,
+        )
+
+    want, want_traj = ed.sample_churn(
+        denoise, jax.random.PRNGKey(13), batch_size=BG, z_cond=zc,
+        num_sample_steps=4, return_trajectory=True,
+    )
+    for fuse in (False, True):
+        got, got_traj = fused_sample_churn(
+            w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(13),
+            batch_size=BG, num_sample_steps=4, block_rows=8,
+            interpret=True, return_trajectory=True, fuse_stages=fuse,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+        )
+        assert got_traj.shape == want_traj.shape
+        np.testing.assert_allclose(
+            np.asarray(got_traj), np.asarray(want_traj), atol=5e-4,
+            rtol=5e-4,
+        )
+
+
 def test_decoder_fast_path_parity():
     """The VAE decoder (plain conditional ResNet1D + heads) through the
     generic-L Pallas kernels matches GraspCVAE.decode exactly."""
