@@ -66,6 +66,7 @@ Numerically equal to ``GraspLatentDDM.apply`` within bf16 tolerance
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -86,8 +87,33 @@ from .stacked_denoiser import (
 __all__ = ["pack_pallas_weights", "stacked_denoiser_pallas_apply"]
 
 # attention inner-product strategy: "mloop" (one pooling-matmul pair per key
-# position) or "pairs" (single L^2-wide batched pooling). Both are exact.
-ATTN_IMPL = "mloop"
+# position), "lloop" (one pair per QUERY position: drops the v-tile
+# materialization and turns the full-width output accumulation into
+# hd-wide slice reductions) or "pairs" (single L^2-wide batched pooling).
+# All are exact.
+ATTN_IMPL = os.environ.get("GRASPLDM_ATTN_IMPL", "mloop")
+
+# v2 norm/FiLM paths: GroupNorm statistics, their normalize/affine
+# broadcasts, and the FiLM scale/shift are all POSITION-INDEPENDENT (the
+# affine gains are per-channel and the FiLM MLP weights are tiled L times
+# at pack time), so the [R, L*C] @ [L*C, tiny-N] pooling matmuls — whose
+# MXU cost is K * 128(padded N) * R regardless of the tiny true N, much of
+# it in fp32 — collapse to a slice-reduction over position blocks plus
+# matmuls at width max(C, 128): an L*C/max(C,128)-fold K reduction on
+# every GN/FiLM matmul. The [R, W] results are tile-copied back to full
+# width (lane-aligned copies). Exact up to sum reassociation.
+FILM_NORM_V2 = os.environ.get("GRASPLDM_KERNEL_V2", "1") != "0"
+
+
+def _v2_block_width(L: int, C: int) -> int:
+    """Lane-aligned position-block width for the v2 slice-reduction: the
+    smallest multiple of C that is >= 128 (so slices land on lane-tile
+    boundaries). Returns 0 when the reduction would be trivial (< 2
+    blocks), in which case the v1 full-width pooling path is used."""
+    W = C if C >= 128 else C * (128 // C) if 128 % C == 0 else 0
+    if W == 0 or (L * C) % W or (L * C) // W < 2:
+        return 0
+    return W
 
 # rows-per-grid-step are processed in this many independent sub-blocks.
 # Intended to let Mosaic overlap sub-block A's MXU matmuls with sub-block
@@ -187,6 +213,24 @@ def _gn_pool_matrices(L: int, C: int, groups: int):
     return jnp.asarray(pool), jnp.asarray(bcast)
 
 
+def _gn_pool2_matrices(C: int, groups: int, W: int, L: int):
+    """v2 GN pooling at block width W = g2*C (g2 positions per block):
+    pool2 [W, groups] maps a position-block-reduced tensor to per-group
+    means (the 1/(L*gs) divisor covers ALL L positions, summed by the
+    in-kernel slice reduction); bcast2 [groups, W] broadcasts back over
+    one block (the kernel tiles the result to full width)."""
+    gs = C // groups
+    g2 = W // C
+    pool = np.zeros((W, groups), np.float32)
+    bcast = np.zeros((groups, W), np.float32)
+    for p in range(g2):
+        for c in range(C):
+            g = c // gs
+            pool[p * C + c, g] = 1.0 / (L * gs)
+            bcast[g, p * C + c] = 1.0
+    return jnp.asarray(pool), jnp.asarray(bcast)
+
+
 def _pos_pool_matrices(L: int, C: int):
     """Per-position channel-LayerNorm pooling over C columns."""
     pool = np.zeros((L * C, L), np.float32)
@@ -253,6 +297,14 @@ def pack_pallas_weights(
                              jnp.tile(mw[:, C:], (1, L))], axis=1))
         put(f"{prefix}_mlpb",
             jnp.concatenate([jnp.tile(mb[:C], L), jnp.tile(mb[C:], L)]))
+        W2 = _v2_block_width(L, C)
+        if W2:
+            g2 = W2 // C
+            # v2 FiLM: one position-block wide, tile-copied in the kernel
+            put(f"{prefix}_mlpWsc", jnp.tile(mw[:, :C], (1, g2)))
+            put(f"{prefix}_mlpbsc", jnp.tile(mb[:C], g2))
+            put(f"{prefix}_mlpWsh", jnp.tile(mw[:, C:], (1, g2)))
+            put(f"{prefix}_mlpbsh", jnp.tile(mb[C:], g2))
         for blk in ("block1", "block2"):
             put_conv(f"{prefix}_{blk}", f"{prefix}_{blk}_w", C)
             put(f"{prefix}_{blk}_b", w[f"{prefix}_{blk}_b"])
@@ -261,6 +313,11 @@ def pack_pallas_weights(
             put(f"{prefix}_{blk}_bcs",
                 gn_bcast * w[f"{prefix}_{blk}_scale"][None, :])
             put(f"{prefix}_{blk}_shift", w[f"{prefix}_{blk}_shift"])
+            if W2:
+                _, bcast2 = _gn_pool2_matrices(C, dims.groups, W2, L)
+                put(f"{prefix}_{blk}_bcs2",
+                    bcast2
+                    * w[f"{prefix}_{blk}_scale"][None, :W2])
         if f"{prefix}_res_W" in w:
             if _use_sliced(L, C):
                 put(f"{prefix}_res_Wc", wraw[f"{prefix}_res_w"])
@@ -336,6 +393,10 @@ def pack_pallas_weights(
     for C in sorted(set(cins + [chans[-1]])):
         p, _ = _gn_pool_matrices(L, C, dims.groups)
         out[f"gnpool_{C}"] = p
+        W2 = _v2_block_width(L, C)
+        if W2:
+            p2, _ = _gn_pool2_matrices(C, dims.groups, W2, L)
+            out[f"gnpool2_{C}"] = p2
         if not xla_attn:
             pp, _ = _pos_pool_matrices(L, C)
             out[f"pospool_{C}"] = pp
@@ -379,6 +440,41 @@ def _mmd(a, b, dtype):
 def _silu_f32(x):
     xf = x.astype(jnp.float32)
     return (xf * jax.nn.sigmoid(xf)).astype(x.dtype)
+
+
+def _tile_full(a, n):
+    """[R, W] -> [R, n*W] by lane-aligned tile copies."""
+    return a if n == 1 else jnp.concatenate([a] * n, axis=-1)
+
+
+def _norm_apply2_k(x, shift, pool2, bcs2, eps=1e-5):
+    """v2 GroupNorm: position-block slice-reduction + narrow matmuls.
+
+    ``pool2 [W, groups]`` consumes the block-summed tensor (W = g2*C,
+    lane-aligned); the normalize/affine factors are computed at width W
+    and tile-copied to full width — exact (up to sum reassociation)
+    because GN statistics and the per-channel affine gain are
+    position-independent. Collapses the K dimension of every GN matmul
+    by L*C/W (16x at the z16 flagship's wide stages).
+    """
+    W = pool2.shape[0]
+    n = x.shape[1] // W
+    xf = x.astype(jnp.float32)
+    xsq = xf * xf
+    xs = functools.reduce(
+        jnp.add, [xf[:, j * W : (j + 1) * W] for j in range(n)]
+    )
+    xs2 = functools.reduce(
+        jnp.add, [xsq[:, j * W : (j + 1) * W] for j in range(n)]
+    )
+    mu = _mmf(xs, pool2)          # [R, groups] (already averaged)
+    musq = _mmf(xs2, pool2)
+    var = jnp.maximum(musq - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    A = _mmd(inv.astype(bcs2.dtype), bcs2, x.dtype)      # [R, W]
+    B = _mmd((mu * inv).astype(bcs2.dtype), bcs2, x.dtype)
+    y = x * _tile_full(A, n) - _tile_full(B, n)
+    return y + shift if shift is not None else y
 
 
 def _norm_apply_k(x, shift, pool, bcast_s, eps=1e-5):
@@ -447,22 +543,35 @@ def _dense_per_l_k(x, W, L, Cin, dtype=None):
 
 def _resblock_k(x, emb_s, g, prefix, L, C, cond_channels):
     """One ResnetBlock on VMEM values. g = dict of weight values."""
-    ss = _mmd(emb_s, g[f"{prefix}_mlpW"], x.dtype) + g[f"{prefix}_mlpb"]
-    scale = ss[:, : L * C]
-    shift = ss[:, L * C :]
+    if f"{prefix}_mlpWsc" in g:
+        # v2 FiLM: block-wide matmuls + tile copies (see FILM_NORM_V2)
+        sc = _mmd(emb_s, g[f"{prefix}_mlpWsc"], x.dtype) + g[f"{prefix}_mlpbsc"]
+        sh = _mmd(emb_s, g[f"{prefix}_mlpWsh"], x.dtype) + g[f"{prefix}_mlpbsh"]
+        n = (L * C) // sc.shape[1]
+        scale = _tile_full(sc, n)
+        shift = _tile_full(sh, n)
+    else:
+        ss = _mmd(emb_s, g[f"{prefix}_mlpW"], x.dtype) + g[f"{prefix}_mlpb"]
+        scale = ss[:, : L * C]
+        shift = ss[:, L * C :]
+
+    def norm(h, blk):
+        if f"{prefix}_{blk}_bcs2" in g:
+            return _norm_apply2_k(
+                h, g[f"{prefix}_{blk}_shift"], g[f"gnpool2_{C}"],
+                g[f"{prefix}_{blk}_bcs2"],
+            )
+        return _norm_apply_k(
+            h, g[f"{prefix}_{blk}_shift"], g[f"gnpool_{C}"],
+            g[f"{prefix}_{blk}_bcs"],
+        )
 
     h = _conv3_k(x, g, f"{prefix}_block1", L, C, x.dtype)
-    h = _norm_apply_k(
-        h, g[f"{prefix}_block1_shift"], g[f"gnpool_{C}"],
-        g[f"{prefix}_block1_bcs"],
-    )
+    h = norm(h, "block1")
     h = h * (scale + jnp.asarray(float(cond_channels), x.dtype)) + shift
     h = _silu_f32(h)
     h = _conv3_k(h, g, f"{prefix}_block2", L, C, x.dtype)
-    h = _norm_apply_k(
-        h, g[f"{prefix}_block2_shift"], g[f"gnpool_{C}"],
-        g[f"{prefix}_block2_bcs"],
-    )
+    h = norm(h, "block2")
     h = _silu_f32(h)
     if f"{prefix}_res_W" in g:
         x = _mmd(x, g[f"{prefix}_res_W"], x.dtype) + g[f"{prefix}_res_b"]
@@ -541,6 +650,23 @@ def _attention_k(x, g, i, L, C, H, D):
         out = functools.reduce(
             jnp.add, [terms[:, m * w : (m + 1) * w] for m in range(L)]
         )
+    elif ATTN_IMPL == "lloop":
+        # one pooling-matmul pair per QUERY position l: vs mloop this
+        # drops the v-tile materialization (v is consumed in place) and
+        # replaces the full-width output accumulation with hd-wide slice
+        # reductions — same MXU flops, ~2 fewer full-width VPU passes
+        # per iteration.
+        parts = []
+        for l in range(L):
+            ql = _tile_block(qn, l, hd, L)                   # [R, L*hd]
+            s = _mmd(ql * kn, g["qpool_c"], x.dtype)         # [R, L*H]
+            sb = _mmd(s, g["qbcast_c"], x.dtype)             # [R, L*hd]
+            term = sb * v
+            parts.append(functools.reduce(
+                jnp.add,
+                [term[:, m * hd : (m + 1) * hd] for m in range(L)],
+            ))
+        out = jnp.concatenate(parts, axis=-1)
     else:  # "mloop": one pooling-matmul pair per key position m
         # (a slice-wise-product variant that builds the q*k_m / sb*v_m
         # tensors block-by-block from lane-aligned hd slices — avoiding
@@ -677,10 +803,20 @@ def _conv_key(w, name):
 
 
 def _res_names(w, prefix):
-    names = [f"{prefix}_mlpW", f"{prefix}_mlpb"]
+    v2 = FILM_NORM_V2 and f"{prefix}_mlpWsc" in w
+    if v2:
+        names = [f"{prefix}_mlpWsc", f"{prefix}_mlpbsc",
+                 f"{prefix}_mlpWsh", f"{prefix}_mlpbsh"]
+    else:
+        names = [f"{prefix}_mlpW", f"{prefix}_mlpb"]
     for blk in ("block1", "block2"):
         names += [_conv_key(w, f"{prefix}_{blk}"), f"{prefix}_{blk}_b",
-                  f"{prefix}_{blk}_bcs", f"{prefix}_{blk}_shift"]
+                  f"{prefix}_{blk}_shift"]
+        names += [
+            f"{prefix}_{blk}_bcs2"
+            if v2 and f"{prefix}_{blk}_bcs2" in w
+            else f"{prefix}_{blk}_bcs"
+        ]
     for suffix in ("_res_W", "_res_Wc", "_res_Wg"):
         if f"{prefix}{suffix}" in w:
             names += [f"{prefix}{suffix}", f"{prefix}_res_b"]
@@ -694,6 +830,8 @@ def _stage_weight_names(w, stage_i, dims, C, final=False):
     for p in prefixes:
         names += _res_names(w, p)
     names += [f"gnpool_{C}"]
+    if FILM_NORM_V2 and f"gnpool2_{C}" in w:
+        names += [f"gnpool2_{C}"]
     if final:
         names += ["final_W", "final_b"]
     else:
@@ -731,6 +869,8 @@ def _hybrid_weight_names(w, stage_i, dims, C, final=False):
     for p in (("final",) if final else (f"b{stage_i}r1", f"b{stage_i}r2")):
         names += _res_names(w, p)
     names += [f"gnpool_{C}"]
+    if FILM_NORM_V2 and f"gnpool2_{C}" in w:
+        names += [f"gnpool2_{C}"]
     if final:
         names += ["final_W", "final_b"]
     return names
