@@ -1,4 +1,11 @@
 from .batcher import BatcherStats, DynamicBatcher
+from .export import (
+    export_program,
+    load_exported,
+    make_ldm_program,
+    make_vae_program,
+    save_exported,
+)
 from .server import (
     GraspServer,
     make_batch_generate,
@@ -9,6 +16,11 @@ __all__ = [
     "BatcherStats",
     "DynamicBatcher",
     "GraspServer",
+    "export_program",
+    "load_exported",
     "make_batch_generate",
     "make_batch_generate_from_parts",
+    "make_ldm_program",
+    "make_vae_program",
+    "save_exported",
 ]

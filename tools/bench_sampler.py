@@ -107,6 +107,9 @@ def main():
     variants = [("scan", run_scan), ("fused", run_fused)]
     if os.environ.get("GRASPLDM_BENCH_FUSE1", "1") != "0":
         variants.append(("fused1", run_fused1))
+    if "--only" in sys.argv:
+        keep = sys.argv[sys.argv.index("--only") + 1].split(",")
+        variants = [v for v in variants if v[0] in keep]
     for name, fn in variants:
         try:
             s = timeit(lambda k: fn(ie, k), jax.random.PRNGKey(3), iters=5)
