@@ -78,6 +78,29 @@ class ElucidatedDiffusion:
             out = jnp.clip(out, -1.0, 1.0)
         return out
 
+    def _guided(
+        self,
+        denoise_fn: DenoiseFn,
+        noised_x: jax.Array,
+        sigma_b: jax.Array,
+        z_cond: Optional[jax.Array],
+        clamp: bool,
+        guidance_fn,
+        guidance_scale: float,
+    ) -> jax.Array:
+        """Denoised estimate with an optional latent-space guidance shift.
+
+        EDM's network output IS the x0 estimate, so guidance
+        (:mod:`graspldm_tpu.diffusion.guidance`) enters as the score shift
+        ``score <- score + s * g(D)`` with ``score = (D - x)/sigma^2``,
+        i.e. ``D <- D + s * sigma^2 * g(D)``.
+        """
+        out = self.preconditioned(denoise_fn, noised_x, sigma_b, z_cond, clamp)
+        if guidance_fn is not None:
+            sig2 = (sigma_b**2)[:, None, None]
+            out = out + guidance_scale * sig2 * guidance_fn(out)
+        return out
+
     # ---- schedule (eq. 5) ----
 
     def sample_schedule(self, num_sample_steps: Optional[int] = None) -> jnp.ndarray:
@@ -102,15 +125,17 @@ class ElucidatedDiffusion:
         use_dpmpp: bool = False,
         clamp: bool = False,
         return_trajectory: bool = False,
+        guidance_fn=None,
+        guidance_scale: float = 1.0,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         if use_dpmpp:
             return self.sample_dpmpp(
                 denoise_fn, rng, batch_size, z_cond, num_sample_steps, clamp,
-                return_trajectory,
+                return_trajectory, guidance_fn, guidance_scale,
             )
         return self.sample_churn(
             denoise_fn, rng, batch_size, z_cond, num_sample_steps, clamp,
-            return_trajectory,
+            return_trajectory, guidance_fn, guidance_scale,
         )
 
     def sample_churn(
@@ -122,6 +147,8 @@ class ElucidatedDiffusion:
         num_sample_steps: Optional[int] = None,
         clamp: bool = False,
         return_trajectory: bool = False,
+        guidance_fn=None,
+        guidance_scale: float = 1.0,
     ):
         """Stochastic churn sampler with Heun 2nd-order correction
         (`elucidated_diffusion.py:178-257`, Algorithm 2)."""
@@ -150,15 +177,19 @@ class ElucidatedDiffusion:
             ) * eps
 
             sig_hat_b = jnp.full((batch_size,), sigma_hat)
-            denoised = self.preconditioned(denoise_fn, x_hat, sig_hat_b, z_cond, clamp)
+            denoised = self._guided(
+                denoise_fn, x_hat, sig_hat_b, z_cond, clamp,
+                guidance_fn, guidance_scale,
+            )
             d = (x_hat - denoised) / sigma_hat
             x_next_euler = x_hat + (sigma_next - sigma_hat) * d
 
             # 2nd-order correction, skipped when sigma_next == 0.
             sig_next_safe = jnp.maximum(sigma_next, 1e-12)
             sig_next_b = jnp.full((batch_size,), sigma_next)
-            denoised_next = self.preconditioned(
-                denoise_fn, x_next_euler, sig_next_b, z_cond, clamp
+            denoised_next = self._guided(
+                denoise_fn, x_next_euler, sig_next_b, z_cond, clamp,
+                guidance_fn, guidance_scale,
             )
             d_prime = (x_next_euler - denoised_next) / sig_next_safe
             x_next_heun = x_hat + 0.5 * (sigma_next - sigma_hat) * (d + d_prime)
@@ -183,6 +214,8 @@ class ElucidatedDiffusion:
         num_sample_steps: Optional[int] = None,
         clamp: bool = False,
         return_trajectory: bool = False,
+        guidance_fn=None,
+        guidance_scale: float = 1.0,
     ):
         """DPM-Solver++(2M) (`elucidated_diffusion.py:259-313`, 2211.01095)."""
         N = num_sample_steps or self.num_sample_steps
@@ -204,7 +237,9 @@ class ElucidatedDiffusion:
             x, old_denoised = carry
             i, sigma, sigma_next_, sigma_prev = inp
             sig_b = jnp.full((batch_size,), sigma)
-            denoised = self.preconditioned(denoise_fn, x, sig_b, z_cond, clamp)
+            denoised = self._guided(
+                denoise_fn, x, sig_b, z_cond, clamp, guidance_fn, guidance_scale
+            )
 
             t, t_next = t_fn(sigma), t_fn(sigma_next_)
             h = t_next - t

@@ -88,6 +88,8 @@ class GaussianDiffusion1D:
         num_inference_steps: Optional[int] = None,
         sampler: str = "ddpm",
         return_trajectory: bool = False,
+        guidance_fn=None,
+        guidance_scale: float = 1.0,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Reverse diffusion, fully fused on device.
 
@@ -98,6 +100,13 @@ class GaussianDiffusion1D:
             sampler: "ddpm" (ancestral) or "ddim" (deterministic, eta=0).
             return_trajectory: also return all intermediate x (S+1 entries,
                 time-major), matching the reference's ``return_all``.
+            guidance_fn: optional latent-space guidance
+                (:mod:`graspldm_tpu.diffusion.guidance`): ``x0_pred ->
+                grad log p(y | x0)``. Applied as a score shift each step,
+                ``eps <- eps - s * sqrt(1-a_t)/sqrt(a_t) * g`` (the x0
+                estimate uses the frozen epsilon — one guidance VJP per
+                step, no denoiser backprop).
+            guidance_scale: s above.
 
         Returns:
             (x0 ``[B, 1, D]``, trajectory ``[S+1, B, 1, D]`` or None)
@@ -119,6 +128,13 @@ class GaussianDiffusion1D:
             t, prev_t = inp
             t_batch = jnp.full((batch_size,), t, dtype=jnp.int32)
             eps = denoise_fn(x, t_batch, z_cond)
+            if guidance_fn is not None:
+                acp_t = self.schedule.alphas_cumprod[t]
+                x0_est = self.schedule.pred_x0_from_eps(x, eps, acp_t)
+                g = guidance_fn(x0_est)
+                eps = eps - (
+                    guidance_scale * jnp.sqrt(1.0 - acp_t) / jnp.sqrt(acp_t)
+                ) * g
             if sampler == "ddim":
                 x_next = self.schedule.ddim_step(x, eps, t, prev_t)
             else:

@@ -48,6 +48,10 @@ class FlagshipConfig:
     conditioning: Optional[str] = None
     # points per region for the region-conditioned denoiser
     region_num_points: int = 128
+    # per-sample probability of dropping the class/region conditioning
+    # embedding during DDM training (cond_mask) — enables classifier-free
+    # guidance at sampling time (ldm_generate(cfg_scale=...))
+    cond_dropout: float = 0.0
 
 
 def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):

@@ -291,6 +291,106 @@ def _make_denoise_fn(ddm, ddm_variables, cond_kwargs, p_dtype, impl,
     return denoise
 
 
+def _make_cfg_denoise_fn(
+    ddm, ddm_variables, cond_kwargs, p_dtype, impl, z_pc_rep, cfg_scale,
+):
+    """Classifier-free-guidance denoise fn: one doubled-batch call.
+
+    Rows ``[:BG]`` run conditioned, rows ``[BG:]`` unconditional (the
+    conditioning embedding zeroed — matching ``cond_mask=0``, the null class
+    the model saw under ``cond_dropout`` training), combined as
+    ``eps_u + w (eps_c - eps_u)``. On the kernel paths the two halves differ
+    only in the STEP-INVARIANT extra embedding, so CFG costs exactly 2x the
+    denoiser rows and zero extra launches per step.
+    """
+    if not cond_kwargs:
+        raise ValueError(
+            "cfg_scale requires a conditioned denoiser (cls_cond or "
+            "region_points)"
+        )
+    impl = _resolve_denoiser_impl(ddm, cond_kwargs, impl)
+    BG = z_pc_rep.shape[0]
+    z2 = jnp.concatenate([z_pc_rep, z_pc_rep], axis=0)
+    w_cfg = jnp.asarray(cfg_scale, jnp.float32)
+
+    def combine(eps2, dtype):
+        e_c, e_u = eps2[:BG], eps2[BG:]
+        return (e_u + w_cfg * (e_c - e_u)).astype(dtype)
+
+    if impl in ("pallas", "stacked"):
+        from ..models.stacked_denoiser import (
+            compute_extra_emb,
+            compute_input_emb,
+            pack_stacked_weights,
+            stacked_denoiser_apply,
+        )
+
+        dims = _denoiser_dims(ddm)
+        if impl == "pallas":
+            from ..models.stacked_pallas import (
+                pack_pallas_weights,
+                stacked_denoiser_pallas_apply,
+            )
+
+            dtype = (
+                jnp.bfloat16
+                if getattr(ddm, "dtype", None) == jnp.bfloat16
+                else jnp.float32
+            )
+            w = pack_pallas_weights(ddm_variables, dims, dtype=dtype)
+            extra = compute_extra_emb(w, **cond_kwargs)  # [BG, emb]
+            ie = compute_input_emb(w, z2.astype(jnp.float32))
+            ie = ie.at[:BG].add(extra[:, None, :])
+
+            def denoise(x, t, z):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                eps2 = stacked_denoiser_pallas_apply(
+                    w, x2, t2, z2, dims, input_emb=ie
+                )
+                return combine(eps2, x.dtype)
+
+            return denoise
+
+        w = pack_stacked_weights(ddm_variables, dims)
+        extra = compute_extra_emb(w, **cond_kwargs)
+        extra2 = jnp.concatenate([extra, jnp.zeros_like(extra)], axis=0)
+        cast = (
+            jnp.bfloat16 if getattr(ddm, "dtype", None) == jnp.bfloat16 else None
+        )
+        if cast is not None:
+            w = {k: v.astype(cast) for k, v in w.items()}
+            extra2 = extra2.astype(cast)
+
+        def denoise(x, t, z):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            eps2 = stacked_denoiser_apply(
+                w, x2, t2, z2, dims, compute_dtype=cast, extra_emb=extra2
+            )
+            return combine(eps2, x.dtype)
+
+        return denoise
+
+    if impl != "flax":
+        raise ValueError(f"unknown denoiser_impl {impl!r}")
+
+    mask2 = jnp.concatenate(
+        [jnp.ones((BG,), jnp.float32), jnp.zeros((BG,), jnp.float32)]
+    )
+    ck2 = {k: jnp.concatenate([v, v], axis=0) for k, v in cond_kwargs.items()}
+
+    def denoise(x, t, z):
+        x2 = jnp.concatenate([x, x], axis=0).astype(p_dtype)
+        t2 = jnp.concatenate([t, t], axis=0)
+        eps2 = ddm.apply(
+            ddm_variables, x2, t2, z2.astype(p_dtype), cond_mask=mask2, **ck2
+        )
+        return combine(eps2, x.dtype)
+
+    return denoise
+
+
 def vae_generate(
     vae,
     vae_variables: Dict[str, Any],
@@ -334,6 +434,9 @@ def ldm_generate(
     region_points: Optional[jax.Array] = None,
     denoiser_impl: str = "auto",
     decoder_impl: str = "auto",
+    cfg_scale: Optional[float] = None,
+    guidance_scale: Optional[float] = None,
+    guidance_fn=None,
 ) -> Dict[str, jax.Array]:
     """LDM-mode generation: reverse diffusion in the grasp latent space.
 
@@ -343,6 +446,23 @@ def ldm_generate(
     ``cls_cond`` (``[B*G]`` scalars) / ``region_points`` (``[B*G, P, 3]``)
     enable class/region-conditioned denoisers (reference
     `tools/inference.py:330-398` conditioning modes).
+
+    Guided sampling (:mod:`graspldm_tpu.diffusion.guidance` — the BASELINE
+    "guided sampling in latent space" capability; the reference has none):
+
+      * ``cfg_scale``: classifier-free guidance weight ``w`` for conditioned
+        denoisers trained with ``cond_dropout`` (w=1 is plain conditional;
+        w>1 sharpens adherence to the class/region condition). One
+        doubled-batch denoiser call per step.
+      * ``guidance_scale``: success guidance — steer each step's x0 estimate
+        uphill on the VAE decoder's ``log p(success|z_h, z_pc)`` (one
+        decoder VJP per step). ``guidance_fn`` overrides the guidance
+        gradient with a custom ``x0 [BG,1,D] -> grad`` hook (scaled by
+        ``guidance_scale``, default 1).
+
+    Both disable the kernels-only fused sampler (their per-step XLA work —
+    the eps combine / decoder VJP — lives in the scan body) but keep the
+    per-stage Pallas denoiser kernels.
 
     ``denoiser_impl`` selects the denoiser hot path:
       * "pallas"  — per-stage fused TPU kernels (activations in VMEM;
@@ -375,8 +495,17 @@ def ldm_generate(
     # (models/pallas_sampler.py). Opt out with GRASPLDM_FUSED_SAMPLER=0.
     resolved_impl = _resolve_denoiser_impl(ddm, cond_kwargs, denoiser_impl)
     is_elucidated = isinstance(diffusion, ElucidatedDiffusion)
+
+    if guidance_fn is None and guidance_scale is not None:
+        from ..diffusion.guidance import make_success_guidance
+
+        guidance_fn = make_success_guidance(vae, vae_variables, z_pc_rep)
+    g_scale = 1.0 if guidance_scale is None else float(guidance_scale)
+    guided = guidance_fn is not None or cfg_scale is not None
+
     use_fused = (
         resolved_impl == "pallas"
+        and not guided
         and (is_elucidated or sampler in ("ddim", "ddpm"))
         and os.environ.get("GRASPLDM_FUSED_SAMPLER", "1") != "0"
     )
@@ -417,10 +546,16 @@ def ldm_generate(
             return_trajectory, decode_fn,
         )
 
-    denoise = _make_denoise_fn(
-        ddm, ddm_variables, cond_kwargs, p_dtype, resolved_impl,
-        z_cond=z_pc_rep,
-    )
+    if cfg_scale is not None:
+        denoise = _make_cfg_denoise_fn(
+            ddm, ddm_variables, cond_kwargs, p_dtype, resolved_impl,
+            z_pc_rep, cfg_scale,
+        )
+    else:
+        denoise = _make_denoise_fn(
+            ddm, ddm_variables, cond_kwargs, p_dtype, resolved_impl,
+            z_cond=z_pc_rep,
+        )
 
     if isinstance(diffusion, ElucidatedDiffusion):
         # EDM samplers: churn (stochastic) or DPM++(2M); the reference wires
@@ -434,6 +569,8 @@ def ldm_generate(
             num_sample_steps=num_inference_steps,
             use_dpmpp=(sampler == "dpmpp"),
             return_trajectory=return_trajectory,
+            guidance_fn=guidance_fn,
+            guidance_scale=g_scale,
         )
     else:
         x0, traj = diffusion.sample(
@@ -444,6 +581,8 @@ def ldm_generate(
             num_inference_steps=num_inference_steps,
             sampler=sampler,
             return_trajectory=return_trajectory,
+            guidance_fn=guidance_fn,
+            guidance_scale=g_scale,
         )
     decode_fn = _make_decode_fn(vae, vae_variables, decoder_impl)
     return _finish_ldm(

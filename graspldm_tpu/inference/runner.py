@@ -353,8 +353,13 @@ class InferenceLDM(InferenceBase):
         region_id=None,
         item_metas=None,
         return_trajectory=False,
+        cfg_scale=None,
+        guidance_scale=None,
         **kwargs,
     ):
+        """``cfg_scale`` / ``guidance_scale`` enable guided sampling
+        (classifier-free / decoder-success guidance, see
+        :func:`graspldm_tpu.inference.pipeline.ldm_generate`)."""
         cls_cond, region_points = self._resolve_conditioning(
             pc, num_grasps, cls_cond, region_id, item_metas
         )
@@ -373,5 +378,7 @@ class InferenceLDM(InferenceBase):
             cls_cond=cls_cond,
             region_points=region_points,
             return_trajectory=return_trajectory,
+            cfg_scale=cfg_scale,
+            guidance_scale=guidance_scale,
         )
         return {k: np.asarray(v) for k, v in out.items()}

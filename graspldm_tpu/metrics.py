@@ -105,12 +105,15 @@ def evaluate_against_ground_truth(
     coverage_tau: float = 0.02,
     rot_weight: float = 0.0,
     min_confidence: Optional[float] = None,
+    infer_kwargs: Optional[Dict] = None,
 ) -> Dict[str, float]:
     """Per-object generation quality against the dataset's GT grasps.
 
     ``runner`` is an InferenceVAE/InferenceLDM (needs ``.dataset`` and
     ``.infer``); GT grasps come from the same dataset item metas. Returns
-    metrics averaged over ``indices``.
+    metrics averaged over ``indices``. ``infer_kwargs`` are forwarded to
+    ``runner.infer`` (e.g. ``guidance_scale`` / ``cfg_scale`` to measure
+    guided sampling).
     """
     import jax
 
@@ -126,7 +129,8 @@ def evaluate_against_ground_truth(
         if keep.sum() < 2:
             continue
         res = runner.infer(
-            int(idx), num_grasps=num_grasps, rng=jax.random.fold_in(rng, j)
+            int(idx), num_grasps=num_grasps, rng=jax.random.fold_in(rng, j),
+            **(infer_kwargs or {}),
         )
         gen = np.asarray(res["grasp_tmrp"][0])
         if min_confidence is not None:

@@ -31,6 +31,11 @@ class ClassTimeConditionedResNet1D(nn.Module):
     The class label (a scalar per sample, e.g. grasp mode/task id) goes
     through Dense(1 -> emb_dim) + SiLU and is summed into the time embedding
     before the conditioning broadcast (`class_conditioned_resnet.py:43-100`).
+
+    ``cond_mask`` (``[B]``, 1 = keep, 0 = drop) zeroes the class-embedding
+    contribution per sample — conditioning dropout at train time and the
+    unconditional branch of classifier-free guidance at sampling time
+    (see :mod:`graspldm_tpu.diffusion.guidance`).
     """
 
     dim: int
@@ -52,6 +57,7 @@ class ClassTimeConditionedResNet1D(nn.Module):
         time: jax.Array,
         z_cond: Optional[jax.Array] = None,
         cls_cond: Optional[jax.Array] = None,
+        cond_mask: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -72,6 +78,8 @@ class ClassTimeConditionedResNet1D(nn.Module):
 
         cls = cls_cond.reshape(-1, 1).astype(x.dtype)
         cls_emb = nn.silu(nn.Dense(emb_dim, name="cls_embed")(cls))
+        if cond_mask is not None:
+            cls_emb = cls_emb * cond_mask.reshape(-1, 1).astype(cls_emb.dtype)
         latent_emb = latent_emb + cls_emb
 
         if self.input_conditioning_dims is not None:
@@ -130,6 +138,7 @@ class RegionTimeConditionedResNet1D(nn.Module):
         time: jax.Array,
         z_cond: Optional[jax.Array] = None,
         region_points: Optional[jax.Array] = None,
+        cond_mask: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -152,8 +161,12 @@ class RegionTimeConditionedResNet1D(nn.Module):
         pts = region_points.astype(x.dtype)
         h = nn.silu(nn.Dense(self.region_hidden, name="region_mlp_1")(pts))
         h = nn.Dense(emb_dim, name="region_mlp_2")(h)
-        region_emb = jnp.max(h, axis=-2)  # [B, emb_dim]
-        latent_emb = latent_emb + nn.silu(region_emb)
+        region_emb = nn.silu(jnp.max(h, axis=-2))  # [B, emb_dim]
+        if cond_mask is not None:
+            region_emb = region_emb * cond_mask.reshape(-1, 1).astype(
+                region_emb.dtype
+            )
+        latent_emb = latent_emb + region_emb
 
         if self.input_conditioning_dims is not None:
             assert z_cond is not None
@@ -199,6 +212,7 @@ class RegionConditionedGraspLatentDDM(nn.Module):
         time: jax.Array,
         z_cond: Optional[jax.Array] = None,
         region_points: Optional[jax.Array] = None,
+        cond_mask: Optional[jax.Array] = None,
         *,
         train: bool = False,
     ) -> jax.Array:
@@ -218,6 +232,7 @@ class RegionConditionedGraspLatentDDM(nn.Module):
             time=time,
             z_cond=z_cond,
             region_points=region_points,
+            cond_mask=cond_mask,
             deterministic=not train,
         )
         return h.transpose(0, 2, 1)
@@ -242,6 +257,7 @@ class ClassConditionedGraspLatentDDM(nn.Module):
         time: jax.Array,
         z_cond: Optional[jax.Array] = None,
         cls_cond: Optional[jax.Array] = None,
+        cond_mask: Optional[jax.Array] = None,
         *,
         train: bool = False,
     ) -> jax.Array:
@@ -256,5 +272,12 @@ class ClassConditionedGraspLatentDDM(nn.Module):
             random_fourier_features=self.random_fourier_features,
             learned_sinusoidal_dim=self.learned_sinusoidal_dim,
             name="denoiser",
-        )(h, time=time, z_cond=z_cond, cls_cond=cls_cond, deterministic=not train)
+        )(
+            h,
+            time=time,
+            z_cond=z_cond,
+            cls_cond=cls_cond,
+            cond_mask=cond_mask,
+            deterministic=not train,
+        )
         return h.transpose(0, 2, 1)

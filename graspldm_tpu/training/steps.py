@@ -235,6 +235,7 @@ def make_ddm_train_step(
     vae_variables: Optional[dict] = None,
     ema_cfg: Optional[EMAConfig] = EMAConfig(),
     loss_weight: float = 1.0,
+    cond_dropout: float = 0.0,
 ) -> Callable:
     """Stage-2 step: epsilon-prediction loss on frozen-VAE latents.
 
@@ -243,6 +244,12 @@ def make_ddm_train_step(
     encode runs under ``stop_gradient`` in eval mode, so the optimizer pytree
     only ever sees denoiser parameters — the functional equivalent of
     `requires_grad=False`.
+
+    ``cond_dropout`` > 0 (conditioned denoisers only) drops the class/region
+    conditioning embedding per sample with that probability (``cond_mask``),
+    so the model also learns the unconditional score — the training half of
+    classifier-free guidance (:mod:`graspldm_tpu.diffusion.guidance`;
+    sample with ``ldm_generate(cfg_scale=...)``).
     """
 
     def step_fn(
@@ -285,6 +292,13 @@ def make_ddm_train_step(
             sel = jax.vmap(lambda r, l: r[l])(rp, labels)  # [B, G, P, 3]
             cond_kwargs["region_points"] = sel.reshape(
                 -1, rp.shape[-2], rp.shape[-1]
+            )
+        if cond_dropout > 0.0 and cond_kwargs:
+            # fold_in (not a wider split) keeps the existing k_enc/k_diff/
+            # k_drop streams identical to cond_dropout=0 runs
+            k_mask = jax.random.fold_in(rng, 1)
+            cond_kwargs["cond_mask"] = jax.random.bernoulli(
+                k_mask, 1.0 - cond_dropout, (bg.shape[0],)
             )
 
         def loss_fn(params):

@@ -186,6 +186,7 @@ class GraspGenerationTrainer:
             fn = make_ddm_train_step(
                 self.vae, self.ddm, self.diffusion, self.tx,
                 ema_cfg=self.ema_cfg,
+                cond_dropout=self.model_cfg.cond_dropout,
             )
         if self.steps_per_dispatch > 1:
             from .steps import make_chunked_step

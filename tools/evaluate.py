@@ -39,6 +39,11 @@ def parse_args():
                    help="meters-per-radian weight of the rotation distance")
     p.add_argument("--min_confidence", type=float, default=None,
                    help="drop generated grasps below this confidence")
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="LDM mode: evaluate with decoder-success guidance")
+    p.add_argument("--cfg_scale", type=float, default=None,
+                   help="LDM mode: classifier-free guidance weight "
+                   "(conditioned checkpoints)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="write metrics JSON here")
     return p.parse_args()
@@ -74,6 +79,13 @@ def main():
     n = min(args.num_objects, len(runner.dataset))
     indices = rng.choice(len(runner.dataset), size=n, replace=False)
 
+    infer_kwargs = {}
+    if args.mode == "LDM":
+        if args.guidance_scale is not None:
+            infer_kwargs["guidance_scale"] = args.guidance_scale
+        if args.cfg_scale is not None:
+            infer_kwargs["cfg_scale"] = args.cfg_scale
+
     metrics = evaluate_against_ground_truth(
         runner,
         indices=indices,
@@ -82,9 +94,12 @@ def main():
         coverage_tau=args.coverage_tau,
         rot_weight=args.rot_weight,
         min_confidence=args.min_confidence,
+        infer_kwargs=infer_kwargs or None,
     )
     metrics.update(mode=args.mode, split=args.split,
                    num_grasps=args.num_grasps)
+    if infer_kwargs:
+        metrics.update(infer_kwargs)
     print(json.dumps(metrics, indent=1))
     if args.out:
         with open(args.out, "w") as f:

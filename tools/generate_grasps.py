@@ -53,6 +53,17 @@ def parse_args():
              "(reference tools/generate_grasps.py:95-106)",
     )
     p.add_argument("--condition_value", type=float, default=0.0)
+    p.add_argument(
+        "--cfg_scale", type=float, default=None,
+        help="LDM mode: classifier-free guidance weight for conditioned "
+        "models trained with cond_dropout (1.0 = plain conditional; > 1 "
+        "sharpens adherence to the condition)",
+    )
+    p.add_argument(
+        "--guidance_scale", type=float, default=None,
+        help="LDM mode: success-guidance strength — steer sampling uphill "
+        "on the decoder's log p(success) in latent space",
+    )
     return p.parse_args()
 
 
@@ -83,6 +94,11 @@ def main():
         # region id selecting the dataset item's region_points metas
         # (reference `tools/inference.py:366-398`)
         infer_kwargs["region_id"] = int(args.condition_value)
+    if args.mode == "LDM":
+        if args.cfg_scale is not None:
+            infer_kwargs["cfg_scale"] = args.cfg_scale
+        if args.guidance_scale is not None:
+            infer_kwargs["guidance_scale"] = args.guidance_scale
 
     rng = np.random.default_rng(args.seed)
     results = []

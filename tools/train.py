@@ -202,6 +202,13 @@ def main():
         if "region_points" in metas:
             out["region_points"] = metas["region_points"]
             out["grasp_region_labels"] = metas["grasp_region_labels"]
+        # class-conditioned denoisers need a per-grasp label: the dataset's
+        # mode_cls metas when present (the reference's
+        # `metas["mode_cls"]` convention, `tools/inference.py:330-364`),
+        # else the grasp success flag — trains success/fail as the two
+        # task classes, so CFG can steer toward the success mode
+        if model_cfg.conditioning == "class" and "cls_cond" not in out:
+            out["cls_cond"] = metas.get("mode_cls", b["grasps"][..., 6])
         return out
 
     def make_iter(wid: int, n: int):
