@@ -137,6 +137,7 @@ def make_sharded_ldm_generate(
     meta: Optional[NormalizationMeta] = None,
     denoiser_impl: str = "auto",
     axis: str = "data",
+    guidance_scale: Optional[float] = None,
 ):
     """Build a jitted ``(vae_vars, ddm_vars, pc, key) -> results`` program
     with ``pc [B, N, 3]`` sharded over ``axis`` (B divisible by its size).
@@ -149,6 +150,11 @@ def make_sharded_ldm_generate(
     program); per-object meta is a call-time kwarg of the returned runner —
     ``run(vae_vars, ddm_vars, pc, key, meta=meta)`` — sharded over ``axis``
     with ``pc`` so each chip unnormalizes with its own objects' stats.
+
+    ``guidance_scale`` enables decoder-success guidance per chip (the
+    guidance VJP runs on each chip's own shard; still collective-free).
+    CFG (``cfg_scale``) needs the conditioning tensors sharded alongside
+    ``pc`` and is not plumbed here — use :func:`ldm_generate` per shard.
     """
     _check_build_meta(meta)
 
@@ -159,6 +165,7 @@ def make_sharded_ldm_generate(
             num_inference_steps=num_inference_steps, sampler=sampler,
             meta=rt_meta if rt_meta is not None else meta,
             denoiser_impl=denoiser_impl,
+            guidance_scale=guidance_scale,
         )
 
     # out_specs depend on the result dict's keys; resolved lazily from an
@@ -168,6 +175,7 @@ def make_sharded_ldm_generate(
             vae, vv, ddm, dv, diffusion, p, num_grasps, k,
             num_inference_steps=num_inference_steps, sampler=sampler,
             meta=m if m is not None else meta, denoiser_impl="flax",
+            guidance_scale=guidance_scale,
         )
 
     return _make_sharded_runner(mesh, axis, 2, per_chip, shape_fn)

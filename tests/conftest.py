@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Persistent compilation cache: this host has ONE CPU, so XLA compiles
+# dominate suite time; caching them makes repeat runs mostly compile-free.
+# Keyed on HLO hash — safe across code edits (changed programs miss).
+os.makedirs("/tmp/jax_test_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 jax.config.update("jax_enable_x64", False)
 # Full fp32 matmuls for numerical parity tests (the runtime default keeps
 # the faster bf16-multiply path for production/bench).
