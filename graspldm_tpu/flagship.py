@@ -40,6 +40,13 @@ class FlagshipConfig:
     diffusion_loss: str = "l2"
     # compute dtype for the denoiser hot path (None = fp32); params stay fp32
     denoiser_dtype: object = None
+    # compute dtype for the TRAINING hot path: the VAE encode stack (PVCNN
+    # pc encoder + grasp-encoder core), which both train stages run every
+    # step. Params, optimizer state, losses, and the mu/logvar + output
+    # heads stay fp32 — this is mixed precision, not low-precision
+    # training. Accepts a jnp dtype or the string "bfloat16"/"float32"
+    # (configs are plain-Python dicts). None = full fp32.
+    train_dtype: object = None
     # EDM (elucidated) diffusion instead of DDPM/DDIM
     elucidated: bool = False
     edm_num_sample_steps: int = 32
@@ -54,8 +61,23 @@ class FlagshipConfig:
     cond_dropout: float = 0.0
 
 
+def _resolve_dtype(d):
+    """None | jnp dtype | "bfloat16"-style string -> jnp dtype or None."""
+    if d is None or not isinstance(d, str):
+        return d
+    if d in ("float32", "fp32"):
+        return None
+    import jax.numpy as jnp
+
+    # canonical jnp attribute (jnp.bfloat16 etc.) so identity checks like
+    # `dtype == jnp.bfloat16` in the kernel-path routing hold
+    return getattr(jnp, str(jnp.dtype(d)))
+
+
 def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
     """Returns (vae, ddm, diffusion)."""
+    denoiser_dtype = _resolve_dtype(cfg.denoiser_dtype)
+    train_dtype = _resolve_dtype(cfg.train_dtype)
     vae = GraspCVAE(
         grasp_latent_size=cfg.grasp_latent_size,
         pc_latent_size=cfg.pc_latent_size,
@@ -71,7 +93,8 @@ def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
         # the decoder is on the generation hot path next to the denoiser —
         # both declare the same compute dtype so the kernel fast paths
         # (stacked_pallas / fast_decoder) pack at the declared precision
-        decoder_dtype=cfg.denoiser_dtype,
+        decoder_dtype=denoiser_dtype,
+        encoder_dtype=train_dtype,
     )
     if cfg.conditioning == "class":
         from .models.conditioning import ClassConditionedGraspLatentDDM
@@ -100,7 +123,7 @@ def build_flagship(cfg: FlagshipConfig = FlagshipConfig()):
             block_channels=cfg.block_channels,
             resnet_block_groups=cfg.resnet_block_groups,
             dropout=cfg.dropout,
-            dtype=cfg.denoiser_dtype,
+            dtype=denoiser_dtype,
         )
     else:
         raise ValueError(

@@ -112,6 +112,12 @@ class GraspCVAE(nn.Module):
     # None = fp32. The kernel fast path (`models/fast_decoder.py`) packs its
     # weights in this dtype, so flax and kernel decodes agree on precision.
     decoder_dtype: object = None
+    # compute dtype of the ENCODE path (PVCNN pc encoder + grasp-encoder
+    # core) — the training hot path for BOTH stages (the DDM stage runs the
+    # frozen VAE encode every step). Params, the bottleneck mu/logvar heads
+    # and the output heads stay fp32 (flax dtype=None promotes back), so
+    # losses/KL are computed at full precision. None = fp32.
+    encoder_dtype: object = None
 
     @property
     def use_qualities(self) -> bool:
@@ -128,6 +134,7 @@ class GraspCVAE(nn.Module):
             num_blocks=tuple(self.pc_num_blocks),
             use_global_attention=self.pc_use_global_attention,
             out_channels=self.pc_latent_channels,
+            dtype=self.encoder_dtype,
         )
         self.grasp_encoder = _ConditionalCore(
             feature_resolution=self.intermediate_feature_resolution,
@@ -136,6 +143,7 @@ class GraspCVAE(nn.Module):
             groups=self.resnet_block_groups,
             dropout=self.dropout,
             out_features=self.grasp_latent_size,
+            dtype=self.encoder_dtype,
         )
         self.bottleneck = VAEBottleneck(latent_size=self.grasp_latent_size)
         self.decoder_core = _ConditionalCore(

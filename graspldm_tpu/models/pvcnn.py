@@ -43,15 +43,17 @@ class SharedMLP(nn.Module):
     """
 
     features: Sequence[int]
+    dtype: object = None  # compute dtype (params stay fp32; BN stats fp32)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = nn.Dense(f, dtype=self.dtype, name=f"dense_{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=self.dtype,
                 name=f"bn_{i}",
             )(x)
             x = nn.relu(x)
@@ -66,14 +68,17 @@ class SE(nn.Module):
 
     reduction: int = 8
     use_relu: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         s = jnp.mean(x, axis=(1, 2, 3))  # [B, C]
-        s = nn.Dense(c // self.reduction, use_bias=False, name="fc1")(s)
+        s = nn.Dense(
+            c // self.reduction, use_bias=False, dtype=self.dtype, name="fc1"
+        )(s)
         s = nn.relu(s) if self.use_relu else nn.silu(s)
-        s = nn.Dense(c, use_bias=False, name="fc2")(s)
+        s = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(s)
         s = nn.sigmoid(s)
         return x * s[:, None, None, None, :]
 
@@ -96,6 +101,7 @@ class PVConv(nn.Module):
     normalize: bool = False
     eps: float = 0.0
     dropout: Optional[float] = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -112,36 +118,44 @@ class PVConv(nn.Module):
         vox_coords = normalize_coords_for_voxelization(
             coords, r, normalize=self.normalize, eps=self.eps
         )
+        if self.dtype is not None:
+            features = features.astype(self.dtype)
         grid = avg_voxelize(features, vox_coords, r)  # [B, r^3, C]
         grid = grid.reshape(grid.shape[0], r, r, r, -1)
 
         grid = nn.Conv(
-            self.out_channels, (k, k, k), padding=k // 2, name="voxel_conv1"
+            self.out_channels, (k, k, k), padding=k // 2, dtype=self.dtype,
+            name="voxel_conv1",
         )(grid)
-        grid = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="voxel_norm1")(grid)
+        grid = nn.GroupNorm(
+            num_groups=8, epsilon=1e-5, dtype=self.dtype, name="voxel_norm1"
+        )(grid)
         grid = nn.silu(grid)
         if self.dropout is not None:
             grid = nn.Dropout(rate=self.dropout, deterministic=not train)(grid)
         grid = nn.Conv(
-            self.out_channels, (k, k, k), padding=k // 2, name="voxel_conv2"
+            self.out_channels, (k, k, k), padding=k // 2, dtype=self.dtype,
+            name="voxel_conv2",
         )(grid)
-        grid = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="voxel_norm2")(grid)
+        grid = nn.GroupNorm(
+            num_groups=8, epsilon=1e-5, dtype=self.dtype, name="voxel_norm2"
+        )(grid)
         if self.use_attention:
             B = grid.shape[0]
             flat = grid.reshape(B, r * r * r, self.out_channels)
-            flat = Attention1D(name="voxel_attn")(flat)
+            flat = Attention1D(dtype=self.dtype, name="voxel_attn")(flat)
             grid = flat.reshape(B, r, r, r, self.out_channels)
         else:
             grid = nn.silu(grid)
         if self.with_se:
-            grid = SE(use_relu=self.with_se_relu, name="se")(grid)
+            grid = SE(use_relu=self.with_se_relu, dtype=self.dtype, name="se")(grid)
 
         grid = grid.reshape(grid.shape[0], r * r * r, self.out_channels)
         voxel_features = trilinear_devoxelize(grid, vox_coords, r)
 
-        point_features = SharedMLP([self.out_channels], name="point_features")(
-            features, train=train
-        )
+        point_features = SharedMLP(
+            [self.out_channels], dtype=self.dtype, name="point_features"
+        )(features, train=train)
         return voxel_features + point_features
 
 
@@ -189,6 +203,7 @@ class PVCNN(nn.Module):
     cond_dims: Optional[int] = None
     extra_block_channels: Optional[Sequence[int]] = None
     voxelization_normalize: bool = False
+    dtype: object = None  # compute dtype (None = fp32; params always fp32)
 
     @property
     def block_spec(self):
@@ -220,15 +235,19 @@ class PVCNN(nn.Module):
                 if self.is_conditioned:
                     assert cond is not None, "conditioned PVCNN requires cond"
                     c_in = features.shape[-1]
-                    emb = nn.Dense(2 * c_in, name=f"cond_emb_{layer_idx}_1")(cond)
+                    emb = nn.Dense(
+                        2 * c_in, dtype=self.dtype, name=f"cond_emb_{layer_idx}_1"
+                    )(cond)
                     emb = nn.silu(emb)
-                    emb = nn.Dense(2 * c_in, name=f"cond_emb_{layer_idx}_2")(emb)
+                    emb = nn.Dense(
+                        2 * c_in, dtype=self.dtype, name=f"cond_emb_{layer_idx}_2"
+                    )(emb)
                     scale, shift = jnp.split(emb, 2, axis=-1)
                     features = features * (1.0 + scale[:, None, :]) + shift[:, None, :]
                 if resolution is None:
-                    features = SharedMLP([out_ch], name=f"stage_{layer_idx}")(
-                        features, train=train
-                    )
+                    features = SharedMLP(
+                        [out_ch], dtype=self.dtype, name=f"stage_{layer_idx}"
+                    )(features, train=train)
                 else:
                     features = PVConv(
                         out_channels=out_ch,
@@ -236,6 +255,7 @@ class PVCNN(nn.Module):
                         resolution=resolution,
                         with_se=True,
                         normalize=self.voxelization_normalize,
+                        dtype=self.dtype,
                         name=f"stage_{layer_idx}",
                     )(features, coords, train=train)
                 layer_idx += 1
@@ -264,6 +284,7 @@ class PVCNNEncoder(nn.Module):
     extra_block_channels: Optional[Sequence[int]] = None
     use_global_attention: bool = False
     out_channels: int = 1
+    dtype: object = None  # compute dtype (None = fp32; params always fp32)
 
     @nn.compact
     def __call__(
@@ -281,19 +302,24 @@ class PVCNNEncoder(nn.Module):
             is_conditioned=self.is_conditioned,
             cond_dims=self.cond_dims,
             extra_block_channels=self.extra_block_channels,
+            dtype=self.dtype,
             name="pvcnn",
         )
         out = backbone(xyz, cond=cond, train=train)  # [B, N, C]
 
         half = backbone.out_channels // 2
-        out = nn.Dense(half, name="conv_downscale")(out)
+        out = nn.Dense(half, dtype=self.dtype, name="conv_downscale")(out)
 
         if self.use_global_attention:
-            out = _GlobalAttention(name="global_attention")(out)
+            out = _GlobalAttention(dtype=self.dtype, name="global_attention")(out)
 
-        out = nn.Dense(self.out_channels, name="out_conv")(out)  # [B, N, C_out]
+        out = nn.Dense(
+            self.out_channels, dtype=self.dtype, name="out_conv"
+        )(out)  # [B, N, C_out]
         out = out.transpose(0, 2, 1)  # [B, C_out, N]
-        out = nn.Dense(self.out_features, name="out_proj")(out)  # [B, C_out, F]
+        out = nn.Dense(
+            self.out_features, dtype=self.dtype, name="out_proj"
+        )(out)  # [B, C_out, F]
         if self.out_channels == 1:
             out = out.squeeze(1)
         return out
@@ -308,20 +334,25 @@ class _GlobalAttention(nn.Module):
     """
 
     num_groups: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         B, N, C = x.shape
-        q = nn.Dense(C, name="q")(x)
-        k = nn.Dense(C, name="k")(x)
-        v = nn.Dense(C, name="v")(x)
+        q = nn.Dense(C, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(C, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(C, dtype=self.dtype, name="v")(x)
         # qk: [B, N, N] (no scaling, matching the reference)
         w = jax.nn.softmax(
             jnp.einsum("bic,bjc->bij", q, k, preferred_element_type=jnp.float32),
             axis=-1,
         ).astype(x.dtype)
         h = jnp.einsum("bij,bjc->bic", w, v, preferred_element_type=jnp.float32)
-        h = nn.Dense(C, name="out")(h.astype(x.dtype))
+        h = nn.Dense(C, dtype=self.dtype, name="out")(h.astype(x.dtype))
         x = x + h
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, name="norm")(x)
+        x = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype, name="norm"
+        )(x)
         return nn.silu(x)

@@ -109,16 +109,22 @@ def avg_voxelize(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        counts = jnp.sum(onehot, axis=1)  # [B, V]
+        # counts accumulate in fp32: a bf16 running sum stops increasing at
+        # 256 (bf16's exact-integer ceiling), undercounting dense voxels
+        counts = jnp.sum(onehot, axis=1, dtype=jnp.float32)  # [B, V]
         out = sums / jnp.maximum(counts, 1.0)[..., None]
         return out.astype(features.dtype)
     elif method == "scatter":
         def per_batch(flat_b, feat_b):
-            sums = jax.ops.segment_sum(feat_b, flat_b, num_segments=V)
-            counts = jax.ops.segment_sum(
-                jnp.ones((feat_b.shape[0],), feat_b.dtype), flat_b, num_segments=V
+            # fp32 accumulation (the matmul path gets this from
+            # preferred_element_type); result cast back to the input dtype
+            sums = jax.ops.segment_sum(
+                feat_b.astype(jnp.float32), flat_b, num_segments=V
             )
-            return sums / jnp.maximum(counts, 1.0)[:, None]
+            counts = jax.ops.segment_sum(
+                jnp.ones((feat_b.shape[0],), jnp.float32), flat_b, num_segments=V
+            )
+            return (sums / jnp.maximum(counts, 1.0)[:, None]).astype(feat_b.dtype)
 
         return jax.vmap(per_batch)(flat, features)
     else:

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--loop", action="store_true",
                    help="also run the full host loop (dataset -> workers -> "
                    "prefetch -> trainer.fit) on the synthetic fixture")
+    p.add_argument("--train-dtype", default=None,
+                   help="mixed-precision training: compute dtype of the VAE "
+                   "encode stack (e.g. bfloat16); params/losses stay fp32")
     args = p.parse_args()
 
     from graspldm_tpu.flagship import FlagshipConfig, build_flagship
@@ -43,7 +46,7 @@ def main():
         make_vae_train_step,
     )
 
-    cfg = FlagshipConfig()
+    cfg = FlagshipConfig(train_dtype=args.train_dtype)
     vae, ddm, diffusion = build_flagship(cfg)
     tx = build_optimizer(1e-3)
     rng = jax.random.PRNGKey(0)
@@ -53,6 +56,8 @@ def main():
     batch = {"pc": pc, "grasps": grasps}
 
     results = {"B": B, "G": G, "N": N}
+    if args.train_dtype:
+        results["train_dtype"] = args.train_dtype
 
     t0 = time.perf_counter()
     vae_state = init_train_state(
@@ -104,7 +109,14 @@ def main():
         results.update(bench_host_loop(args))
 
     print(json.dumps(results, indent=1))
-    with open("TRAIN_BENCH.json", "w") as f:
+    # mixed-precision runs get their own artifact so the fp32 baseline
+    # numbers are never silently overwritten
+    out_path = (
+        f"TRAIN_BENCH_{args.train_dtype.upper()}.json"
+        if args.train_dtype
+        else "TRAIN_BENCH.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 
