@@ -58,9 +58,11 @@ def main():
     cfg = FlagshipConfig(**cfg_kw)
     vae, ddm, diffusion = build_flagship(cfg)
 
-    # B=32 measured optimal on v5e (43k+ grasps/s vs 37k at B=8: encode
-    # amortization + fuller kernel grids at BG=32768)
-    B = int(os.environ.get("GRASPLDM_BENCH_B", 32))
+    # B sweep on v5e (v2 kernels, grasps/s/chip): fpc 55.1k @32, 56.7k @64,
+    # 58.0k @128, 58.4k @256, 58.5k @512 (saturates); ppc 12.22k @32,
+    # 12.32k @64, 12.36k @128. B=128 takes ~all of the gain at a quarter
+    # of the @512 footprint/compile.
+    B = int(os.environ.get("GRASPLDM_BENCH_B", 128))
     G = int(os.environ.get("GRASPLDM_BENCH_G", 1024))
     STEPS = int(os.environ.get("GRASPLDM_BENCH_STEPS", 100))
     N = 1024
