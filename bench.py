@@ -27,11 +27,15 @@ def _sync(out):
 
     ``jax.block_until_ready`` can return early through the remote-chip
     tunnel (observed reading a 24.7 ms train step as 7.6 ms); an actual
-    D2H read of computed bytes cannot. The 16-float read costs one ~30 ms
-    round trip — bill it per timed iteration or amortize it over a queued
-    loop, but never trust a bare block_until_ready timing here.
+    D2H read of computed bytes cannot (see
+    ``graspldm_tpu.utils.profiling.materialize``, the shared
+    implementation). The tiny read costs one ~30 ms round trip — bill it
+    per timed iteration or amortize it over a queued loop, but never
+    trust a bare block_until_ready timing here.
     """
-    np.asarray(out["grasps"][0, 0])
+    from graspldm_tpu.utils.profiling import materialize
+
+    materialize(out["grasps"])
 
 
 def main():

@@ -45,6 +45,11 @@ def _H_to_tmrp_np(H: np.ndarray) -> np.ndarray:
 class BaseAugmentation:
     transforms_pc = False
     transforms_grasps = False
+    # stateful "general" augmentations (the reference's
+    # BaseGeneralAugmentation family) draw ONE transform per sample via
+    # reset(rng) and expose apply(pc) / apply_to_poses(H) so the pipeline
+    # can apply it jointly to the cloud and the grasp poses
+    is_stateful = False
 
 
 @AUGMENTATIONS.register
@@ -190,6 +195,7 @@ class RandomRotationTransform(BaseAugmentation):
 
     transforms_pc = True
     transforms_grasps = True
+    is_stateful = True
 
     def __init__(self, p: float = 0.5, max_angle: float = 180.0,
                  is_degree: bool = True):
@@ -241,7 +247,7 @@ class AugmentationPipeline:
         self, pc: np.ndarray, grasps: np.ndarray, rng: np.random.Generator
     ) -> Tuple[np.ndarray, np.ndarray]:
         for aug in self.augs:
-            if isinstance(aug, RandomRotationTransform):
+            if aug.is_stateful:
                 # stateful general augmentation: one transform per sample,
                 # applied jointly to the cloud and the grasp poses
                 aug.reset(rng)

@@ -327,18 +327,15 @@ def _make_cfg_denoise_fn(
 
         dims = _denoiser_dims(ddm)
         if impl == "pallas":
-            from ..models.stacked_pallas import (
-                pack_pallas_weights,
-                stacked_denoiser_pallas_apply,
-            )
+            from ..models.stacked_pallas import stacked_denoiser_pallas_apply
 
-            dtype = (
-                jnp.bfloat16
-                if getattr(ddm, "dtype", None) == jnp.bfloat16
-                else jnp.float32
+            # same pack + precision routing as the unconditional path; the
+            # doubled-batch embedding fold is the only CFG-specific part
+            # (conditioned rows [:BG] get the extra embedding, rows [BG:]
+            # stay null — the cond_mask=0 class from dropout training)
+            w, dims, _, extra = _pallas_pack(
+                ddm, ddm_variables, cond_kwargs, None
             )
-            w = pack_pallas_weights(ddm_variables, dims, dtype=dtype)
-            extra = compute_extra_emb(w, **cond_kwargs)  # [BG, emb]
             ie = compute_input_emb(w, z2.astype(jnp.float32))
             ie = ie.at[:BG].add(extra[:, None, :])
 

@@ -93,6 +93,13 @@ class DynamicBatcher:
             is already queued).
         buckets: explicit batch buckets (sorted ascending). Default:
             powers of two up to ``max_batch``.
+        requires_cls: ``True`` → every request must carry ``cls_cond``
+            (class-conditioned model), ``False`` → none may (unconditional
+            model); validated at :meth:`submit` so a bad request fails
+            itself immediately instead of depending on what it happens to
+            be co-batched with. ``None`` (unknown model) skips validation;
+            mixed batches are then split by cls-presence before execution
+            so batch composition never changes a request's semantics.
     """
 
     def __init__(
@@ -102,10 +109,12 @@ class DynamicBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         buckets: Optional[Sequence[int]] = None,
+        requires_cls: Optional[bool] = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._fn = batch_generate
+        self.requires_cls = requires_cls
         self.num_points = int(num_points)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -140,6 +149,14 @@ class DynamicBatcher:
         """
         from ..utils.pointcloud_helpers import regularize_pc_point_count
 
+        if self.requires_cls is True and cls_cond is None:
+            raise ValueError(
+                "class-conditioned model: every request needs 'cls'"
+            )
+        if self.requires_cls is False and cls_cond is not None:
+            raise ValueError(
+                "this model is not class-conditioned; drop the 'cls' field"
+            )
         pc = np.asarray(pc, np.float32)
         if pc.ndim != 2 or pc.shape[1] != 3 or pc.shape[0] < 1:
             raise ValueError(f"pc must be [N, 3] with N >= 1, got {pc.shape}")
@@ -212,7 +229,15 @@ class DynamicBatcher:
             batch = self._collect()
             if batch is None:
                 return
-            self._execute(batch)
+            # a request's conditioning must not depend on who it was
+            # coalesced with: run cls-bearing and cls-less requests as
+            # separate batches (only reachable with requires_cls=None —
+            # otherwise submit() already enforced a uniform queue)
+            with_cls = [it for it in batch if it.cls_cond is not None]
+            without = [it for it in batch if it.cls_cond is None]
+            for group in (with_cls, without):
+                if group:
+                    self._execute(group)
 
     def _execute(self, batch: List[_Pending]) -> None:
         n = len(batch)

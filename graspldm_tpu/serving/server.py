@@ -201,11 +201,13 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError(f"num_grasps must be in [1, {max_g}]")
             cls = req.get("cls")
             cls = float(cls) if cls is not None else None
+            # submit() validates pc shape/finiteness and cls-vs-model
+            # compatibility — those are caller errors, hence 400
+            fut = self.batcher.submit(points, num_grasps, cls_cond=cls)
         except Exception as e:  # malformed request
             self._reply(400, {"error": str(e)})
             return
         try:
-            fut = self.batcher.submit(points, num_grasps, cls_cond=cls)
             res = fut.result(timeout=self.request_timeout_s)
         except Exception as e:  # model/validation error surfaced per request
             self._reply(500, {"error": str(e)})

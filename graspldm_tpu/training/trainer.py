@@ -316,6 +316,7 @@ class GraspGenerationTrainer:
                     or step >= max_steps
                 )
             ):
+                t_eval0 = time.perf_counter()
                 eval_metrics = eval_fn(state, frozen_vae)
                 if is_main:
                     self.logger.log(
@@ -336,7 +337,11 @@ class GraspGenerationTrainer:
                     save_checkpoint(
                         self.experiment.checkpoint_path("best"), state
                     )
-                t_last = time.perf_counter()  # don't bill eval as steps
+                # don't bill the eval span as train time — shift t_last by
+                # the eval duration instead of resetting it, so train time
+                # accrued since the last LOG boundary stays in the
+                # steps_per_sec denominator
+                t_last += time.perf_counter() - t_eval0
             if (
                 step // self.ckpt_every > prev // self.ckpt_every
                 or step >= max_steps
@@ -347,6 +352,14 @@ class GraspGenerationTrainer:
                 # average since the previous checkpoint — one lucky batch
                 # can't pin `best` forever
                 if eval_fn is None or not self.eval_every:
+                    if not window_losses:
+                        # no log crossing since the previous checkpoint
+                        # (ckpt cadence finer than log cadence): score this
+                        # boundary on the current step's loss rather than
+                        # skipping the `best` update entirely
+                        m = _fetch_metrics(metrics)
+                        if "loss" in m:
+                            window_losses.append(m["loss"])
                     loss = (
                         float(np.mean(window_losses))
                         if window_losses

@@ -146,6 +146,51 @@ def test_batcher_cls_padding_and_passthrough():
         b.close()
 
 
+def test_batcher_requires_cls_validated_at_submit():
+    """cls-vs-model compatibility fails the request itself, immediately —
+    not via whatever batch it happens to be coalesced into."""
+    b = DynamicBatcher(
+        _fake_generate(), num_points=8, max_batch=2, requires_cls=True
+    )
+    try:
+        with pytest.raises(ValueError, match="needs 'cls'"):
+            b.submit(np.ones((8, 3), np.float32), 1)
+        # a valid request still goes through
+        b.generate(np.ones((8, 3), np.float32), 1, cls_cond=1.0, timeout=10)
+    finally:
+        b.close()
+    b = DynamicBatcher(
+        _fake_generate(), num_points=8, max_batch=2, requires_cls=False
+    )
+    try:
+        with pytest.raises(ValueError, match="not class-conditioned"):
+            b.submit(np.ones((8, 3), np.float32), 1, cls_cond=1.0)
+    finally:
+        b.close()
+
+
+def test_batcher_mixed_cls_batch_splits():
+    """With requires_cls unknown, a cls-less request coalesced with a
+    cls-bearing one must NOT be silently conditioned on class 0: the
+    worker executes the two groups as separate batches."""
+    record = []
+    b = DynamicBatcher(
+        _fake_generate(record), num_points=8, max_batch=4, max_wait_ms=100.0
+    )
+    try:
+        f1 = b.submit(np.ones((8, 3), np.float32), 1, cls_cond=1.0)
+        f2 = b.submit(np.ones((8, 3), np.float32), 1)  # no cls
+        f1.result(timeout=10), f2.result(timeout=10)
+        assert len(record) == 2
+        clses = sorted(
+            (None if c is None else float(c[0]) for _, c in record),
+            key=lambda v: (v is not None, v),
+        )
+        assert clses[0] is None and clses[1] == 1.0
+    finally:
+        b.close()
+
+
 # -- HTTP layer --
 
 
@@ -276,7 +321,10 @@ def test_serving_real_model_smoke():
     try:
         f1 = b.submit(np.random.rand(50, 3).astype(np.float32) * 0.05, 4)
         f2 = b.submit(np.random.rand(20, 3).astype(np.float32) * 0.05, 2)
-        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        # a COLD compile of the one-bucket generation program takes ~3.5 min
+        # on this single-CPU host (the persistent compile cache in conftest
+        # makes repeat runs fast) — budget well past it
+        r1, r2 = f1.result(timeout=600), f2.result(timeout=600)
         assert r1["grasps"].shape == (4, 4, 4)
         assert r2["grasps"].shape == (2, 4, 4)
         assert np.isfinite(r1["grasps"]).all()

@@ -343,6 +343,56 @@ class TestInTrainingEval:
         assert os.path.exists(exp.checkpoint_path("last"))
 
 
+class TestBestByLossWindow:
+    def test_best_follows_loss_between_log_boundaries(self, tmp_path):
+        """Checkpoint cadence finer than log cadence: the best-by-loss
+        fallback must still track the loss at every checkpoint boundary
+        (scripted strictly-decreasing losses -> `best` lands on the LAST
+        step), instead of being pinned to the first logged window."""
+        from graspldm_tpu.training.experiment import Experiment
+        from graspldm_tpu.training.state import restore_checkpoint
+        from graspldm_tpu.training.trainer import GraspGenerationTrainer
+
+        losses = [5.0, 4.0, 3.0, 2.0]
+
+        class Scripted(GraspGenerationTrainer):
+            def _build_step(self):
+                def step(state, batch, rng):
+                    loss = losses[int(state.step)]
+                    return state.replace(step=state.step + 1), {
+                        "loss": jnp.asarray(loss, jnp.float32)
+                    }
+
+                return step
+
+        cfg = FlagshipConfig(
+            pc_num_points=32, pc_latent_size=8, pc_latent_channels=3,
+            grasp_latent_size=4, block_channels=(8, 16),
+            resnet_block_groups=4, dropout=None, pc_scale_channels=0.25,
+            pc_scale_voxel_resolution=0.25, diffusion_timesteps=8,
+        )
+        exp = Experiment(str(tmp_path / "out"), "best_window", "vae")
+        trainer = Scripted(
+            experiment=exp, model_cfg=cfg, stage="vae",
+            log_every=1000, ckpt_every=1,  # ckpt every step, log ~never
+        )
+        example = {
+            "pc": np.zeros((2, 32, 3), np.float32),
+            "grasps": np.zeros((8, 7), np.float32),
+        }
+        state = trainer.init_state(jax.random.PRNGKey(0), example)
+
+        def batches():
+            while True:
+                yield example
+
+        trainer.fit(state, batches(), len(losses), jax.random.PRNGKey(1))
+
+        template = trainer.init_state(jax.random.PRNGKey(0), example)
+        best = restore_checkpoint(exp.checkpoint_path("best"), template)
+        assert int(best.step) == len(losses)
+
+
 class TestChunkedDispatch:
     def test_chunked_step_matches_sequential(self, tiny_setup):
         """K steps scanned in one dispatch (make_chunked_step) produce the

@@ -75,6 +75,7 @@ def main():
         num_points=num_points,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        requires_cls=(infer.model_cfg.conditioning == "class"),
     )
     if not args.no_warmup:
         # compile every bucket up front so the first requests don't stall

@@ -226,7 +226,16 @@ def main():
         from graspldm_tpu.training.eval_hook import make_generation_eval_fn
 
         eval_cfg = dict(trainer_cfg.get("eval", {}) or {})
-        eval_ds = dataset
+        # the eval score gates a COLLECTIVE best-checkpoint save
+        # (trainer.py assumes it is replicated-identical), so every process
+        # must score the same objects: under multi-host training `dataset`
+        # holds only this process's record shard — rebuild the full,
+        # unsharded dataset for eval
+        eval_ds = (
+            build_from_cfg(ds_cfg, DATASETS)
+            if jax.process_count() > 1
+            else dataset
+        )
         split = eval_cfg.get("split")
         if split:
             try:
