@@ -31,6 +31,7 @@ test: tests/test_fused_denoiser.py::test_fused_sampler_parity).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -103,11 +104,8 @@ def _mid_stage_kernel(names, dims, stage_i, C, *refs):
     out_ref[...] = _conv3_k(x, g, f"b{stage_i}_proj", L, C, x.dtype)
 
 
-def _scheduler_update(eps, xt_ref, coef_ref, noise_ref, sampler, clip,
-                      clip_range):
-    """DDIM / DDPM update on VMEM values (shared by the final kernels)."""
-    xt = xt_ref[...].astype(jnp.float32)
-    c = coef_ref[...].astype(jnp.float32)  # [1, 8]
+def _scheduler_update_v(eps, xt, c, noise, sampler, clip, clip_range):
+    """DDIM / DDPM update on fp32 VMEM VALUES (shared by all kernels)."""
     # [1, 1] coefficient slices broadcast against [R, L] (no scalar
     # extracts — lane/sublane broadcasts are the safe Mosaic lowering)
     a, b = c[:, 0:1], c[:, 1:2]
@@ -120,7 +118,19 @@ def _scheduler_update(eps, xt_ref, coef_ref, noise_ref, sampler, clip,
         return d * xt + e * x0
     # ddpm: posterior mean + sigma * noise
     c0, c1, sigma = c[:, 2:3], c[:, 3:4], c[:, 4:5]
-    return c0 * x0 + c1 * xt + sigma * noise_ref[...].astype(jnp.float32)
+    return c0 * x0 + c1 * xt + sigma * noise
+
+
+def _scheduler_update(eps, xt_ref, coef_ref, noise_ref, sampler, clip,
+                      clip_range):
+    """Ref-reading wrapper around :func:`_scheduler_update_v`."""
+    return _scheduler_update_v(
+        eps,
+        xt_ref[...].astype(jnp.float32),
+        coef_ref[...].astype(jnp.float32),
+        None if noise_ref is None else noise_ref[...].astype(jnp.float32),
+        sampler, clip, clip_range,
+    )
 
 
 def _full_step_kernel(names, dims, cins, sampler, clip, clip_range, *refs):
@@ -195,12 +205,9 @@ def _stage0_dpmpp_kernel(names, dims, C, *refs):
     out_ref[...] = _conv3_k(x, g, "b0_proj", L, C, x.dtype)
 
 
-def _dpmpp_update(net_out, xt_ref, old_ref, coef_ref, clamp):
-    """(x_new, denoised) from the 2M update (`elucidated.py:203-225`),
-    all step constants precomputed into the coefficient row."""
-    xt = xt_ref[...].astype(jnp.float32)
-    old = old_ref[...].astype(jnp.float32)
-    c = coef_ref[...].astype(jnp.float32)  # [1, 8]
+def _dpmpp_update_v(net_out, xt, old, c, clamp):
+    """(x_new, denoised) from the 2M update (`elucidated.py:203-225`) on
+    fp32 values, all step constants precomputed into the coefficient row."""
     cskip, cout = c[:, 1:2], c[:, 2:3]
     g1, g2 = c[:, 3:4], c[:, 4:5]
     ratio, em1 = c[:, 5:6], c[:, 6:7]
@@ -210,6 +217,17 @@ def _dpmpp_update(net_out, xt_ref, old_ref, coef_ref, clamp):
     denoised_d = g1 * denoised + g2 * old
     x_new = ratio * xt - em1 * denoised_d
     return x_new, denoised
+
+
+def _dpmpp_update(net_out, xt_ref, old_ref, coef_ref, clamp):
+    """Ref-reading wrapper around :func:`_dpmpp_update_v`."""
+    return _dpmpp_update_v(
+        net_out,
+        xt_ref[...].astype(jnp.float32),
+        old_ref[...].astype(jnp.float32),
+        coef_ref[...].astype(jnp.float32),
+        clamp,
+    )
 
 
 def _final_dpmpp_kernel(names, dims, C, clamp, *refs):
@@ -269,10 +287,13 @@ def _full_dpmpp_kernel(names, dims, cins, clamp, *refs):
 # coefB row: [cinB, cskipB, coutB, s_eps, hh=0.5*dsc, inv_sn, sel, 0]
 
 
+def _xhat_v(x, noise, c):
+    return x + c[:, 3:4] * noise
+
+
 def _xhat(x_ref, noise_ref, c):
-    return (
-        x_ref[...].astype(jnp.float32)
-        + c[:, 3:4] * noise_ref[...].astype(jnp.float32)
+    return _xhat_v(
+        x_ref[...].astype(jnp.float32), noise_ref[...].astype(jnp.float32), c
     )
 
 
@@ -293,15 +314,25 @@ def _stage0_churn_a_kernel(names, dims, C, *refs):
     out_ref[...] = _conv3_k(x, g, "b0_proj", L, C, x.dtype)
 
 
-def _churn_a_update(netA, x_ref, noise_ref, coef_ref, clamp):
-    """(x_eul, d) from the Euler half-step."""
-    c = coef_ref[...].astype(jnp.float32)
-    x_hat = _xhat(x_ref, noise_ref, c)
+def _churn_a_update_v(netA, x, noise, c, clamp):
+    """(x_eul, d) from the Euler half-step, on fp32 values."""
+    x_hat = _xhat_v(x, noise, c)
     den = c[:, 1:2] * x_hat + c[:, 2:3] * netA
     if clamp:
         den = jnp.clip(den, -1.0, 1.0)
     d = (x_hat - den) * c[:, 5:6]
     return x_hat + c[:, 4:5] * d, d
+
+
+def _churn_a_update(netA, x_ref, noise_ref, coef_ref, clamp):
+    """Ref-reading wrapper around :func:`_churn_a_update_v`."""
+    return _churn_a_update_v(
+        netA,
+        x_ref[...].astype(jnp.float32),
+        noise_ref[...].astype(jnp.float32),
+        coef_ref[...].astype(jnp.float32),
+        clamp,
+    )
 
 
 def _final_churn_a_kernel(names, dims, C, clamp, *refs):
@@ -318,19 +349,31 @@ def _final_churn_a_kernel(names, dims, C, clamp, *refs):
     d_out[...] = d
 
 
-def _churn_b_update(netB, x_eul_ref, d_ref, x_ref, noise_ref, coef_ref,
-                    clamp):
-    """x_new from the Heun correction (static first/last-step select)."""
-    c = coef_ref[...].astype(jnp.float32)
-    x_eul = x_eul_ref[...].astype(jnp.float32)
+def _churn_b_update_v(netB, x_eul, d, x, noise, c, clamp):
+    """x_new from the Heun correction (static first/last-step select),
+    on fp32 values."""
     den = c[:, 1:2] * x_eul + c[:, 2:3] * netB
     if clamp:
         den = jnp.clip(den, -1.0, 1.0)
     d_prime = (x_eul - den) * c[:, 5:6]
-    x_hat = _xhat(x_ref, noise_ref, c)
-    x_heun = x_hat + c[:, 4:5] * (d_ref[...].astype(jnp.float32) + d_prime)
+    x_hat = _xhat_v(x, noise, c)
+    x_heun = x_hat + c[:, 4:5] * (d + d_prime)
     sel = c[:, 6:7]
     return sel * x_heun + (1.0 - sel) * x_eul
+
+
+def _churn_b_update(netB, x_eul_ref, d_ref, x_ref, noise_ref, coef_ref,
+                    clamp):
+    """Ref-reading wrapper around :func:`_churn_b_update_v`."""
+    return _churn_b_update_v(
+        netB,
+        x_eul_ref[...].astype(jnp.float32),
+        d_ref[...].astype(jnp.float32),
+        x_ref[...].astype(jnp.float32),
+        noise_ref[...].astype(jnp.float32),
+        coef_ref[...].astype(jnp.float32),
+        clamp,
+    )
 
 
 def _final_churn_b_kernel(names, dims, C, clamp, *refs):
@@ -363,6 +406,15 @@ def _net_in_kernel(x, emb, g, dims, cins):
     return (_mmd(h, g["final_W"], h.dtype) + g["final_b"]).astype(jnp.float32)
 
 
+def _churn_step_v(x, noise, embA, embB, cA, cB, g, dims, cins, clamp):
+    """One full churn step (both net evaluations) on fp32 values."""
+    netA = _net_in_kernel(cA[:, 0:1] * _xhat_v(x, noise, cA), embA, g, dims,
+                          cins)
+    x_eul, d = _churn_a_update_v(netA, x, noise, cA, clamp)
+    netB = _net_in_kernel(cB[:, 0:1] * x_eul, embB, g, dims, cins)
+    return _churn_b_update_v(netB, x_eul, d, x, noise, cB, clamp)
+
+
 def _full_churn_kernel(names, dims, cins, clamp, *refs):
     """One launch for the WHOLE churn step — both net evaluations."""
     (x_ref, noise_ref, embin_ref, trowA_ref, trowB_ref, coefA_ref,
@@ -370,23 +422,106 @@ def _full_churn_kernel(names, dims, cins, clamp, *refs):
     out_ref = refs[-1]
     g = {n: r[...] for n, r in zip(names, refs[7:-1])}
     dtype = g["init_W"].dtype
-    cA = coefA_ref[...].astype(jnp.float32)
     embA = _emb_from_row(embin_ref[...], trowA_ref[...], dtype)
-    netA = _net_in_kernel(
-        cA[:, 0:1] * _xhat(x_ref, noise_ref, cA), embA, g, dims, cins
-    )
-    x_eul, d = _churn_a_update(netA, x_ref, noise_ref, coefA_ref, clamp)
-    cB = coefB_ref[...].astype(jnp.float32)
     embB = _emb_from_row(embin_ref[...], trowB_ref[...], dtype)
-    netB = _net_in_kernel(cB[:, 0:1] * x_eul, embB, g, dims, cins)
-    den = cB[:, 1:2] * x_eul + cB[:, 2:3] * netB
-    if clamp:
-        den = jnp.clip(den, -1.0, 1.0)
-    d_prime = (x_eul - den) * cB[:, 5:6]
-    x_hat = _xhat(x_ref, noise_ref, cB)
-    x_heun = x_hat + cB[:, 4:5] * (d + d_prime)
-    sel = cB[:, 6:7]
-    out_ref[...] = sel * x_heun + (1.0 - sel) * x_eul
+    out_ref[...] = _churn_step_v(
+        x_ref[...].astype(jnp.float32),
+        noise_ref[...].astype(jnp.float32),
+        embA, embB,
+        coefA_ref[...].astype(jnp.float32),
+        coefB_ref[...].astype(jnp.float32),
+        g, dims, cins, clamp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# whole-scan megakernels: ALL sampler steps in ONE launch per row chunk
+# ---------------------------------------------------------------------------
+#
+# Every sampler row evolves INDEPENDENTLY across steps — the carry x[r]
+# only ever meets the weights and its own conditioning row. So the loop
+# nest can be inverted: instead of `lax.scan` dispatching S per-step
+# launches that each re-stream the weights, the conditioning embedding and
+# the carry through HBM, the grid walks row chunks and a `fori_loop`
+# INSIDE the kernel runs all S steps with the weights, embin, the time-row
+# table and the coefficient table VMEM-resident. Per-chunk HBM traffic
+# collapses from S*(weights + embin + 2x) to (weights + embin [+ noise]
+# + x + out), and the per-step launch/dispatch overhead disappears
+# entirely. The compute per step is unchanged (same `_resblock_k` /
+# `_attention_k` bodies as `_full_step_kernel`), so the win concentrates
+# where that overhead dominates: the small-BG / serving-latency regime.
+# Samplers that consume per-step noise (DDPM, churn) precompute the whole
+# [S, BG, L] noise tensor OUTSIDE the kernel with the exact same PRNG
+# consumption order as the per-step path, so fixed seeds still reproduce
+# `GaussianDiffusion1D.sample` / `ElucidatedDiffusion.sample_churn`.
+
+
+def _mega_kernel(names, dims, cins, S, sampler, clip, clip_range, *refs):
+    """DDIM/DDPM: the ENTIRE reverse diffusion for one row chunk."""
+    x_ref, embin_ref, trows_ref, coefs_ref = refs[:4]
+    has_noise = sampler == "ddpm"
+    noise_ref = refs[4] if has_noise else None
+    w0 = 5 if has_noise else 4
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[w0:-1])}
+    dtype = g["init_W"].dtype
+    embin = embin_ref[...]
+
+    def body(s, x):
+        trow = trows_ref[pl.ds(s, 1), :]
+        c = coefs_ref[pl.ds(s, 1), :].astype(jnp.float32)
+        emb = _emb_from_row(embin, trow, dtype)
+        eps = _net_in_kernel(x, emb, g, dims, cins)
+        noise = noise_ref[s] if has_noise else None
+        return _scheduler_update_v(eps, x, c, noise, sampler, clip,
+                                   clip_range)
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, S, body, x_ref[...].astype(jnp.float32)
+    )
+
+
+def _mega_dpmpp_kernel(names, dims, cins, S, clamp, *refs):
+    """DPM-Solver++(2M): whole trajectory, (x, old_denoised) carried."""
+    x_ref, embin_ref, trows_ref, coefs_ref = refs[:4]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[4:-1])}
+    dtype = g["init_W"].dtype
+    embin = embin_ref[...]
+
+    def body(s, carry):
+        x, old = carry
+        trow = trows_ref[pl.ds(s, 1), :]
+        c = coefs_ref[pl.ds(s, 1), :].astype(jnp.float32)
+        emb = _emb_from_row(embin, trow, dtype)
+        net = _net_in_kernel(c[:, 0:1] * x, emb, g, dims, cins)
+        return _dpmpp_update_v(net, x, old, c, clamp)
+
+    x0 = x_ref[...].astype(jnp.float32)
+    x0, _ = jax.lax.fori_loop(0, S, body, (x0, jnp.zeros_like(x0)))
+    out_ref[...] = x0
+
+
+def _mega_churn_kernel(names, dims, cins, S, clamp, *refs):
+    """EDM churn (Heun): whole trajectory, both net evals per step."""
+    (x_ref, embin_ref, trowsA_ref, trowsB_ref, coefA_ref, coefB_ref,
+     noise_ref) = refs[:7]
+    out_ref = refs[-1]
+    g = {n: r[...] for n, r in zip(names, refs[7:-1])}
+    dtype = g["init_W"].dtype
+    embin = embin_ref[...]
+
+    def body(s, x):
+        embA = _emb_from_row(embin, trowsA_ref[pl.ds(s, 1), :], dtype)
+        embB = _emb_from_row(embin, trowsB_ref[pl.ds(s, 1), :], dtype)
+        cA = coefA_ref[pl.ds(s, 1), :].astype(jnp.float32)
+        cB = coefB_ref[pl.ds(s, 1), :].astype(jnp.float32)
+        return _churn_step_v(x, noise_ref[s], embA, embB, cA, cB, g, dims,
+                             cins, clamp)
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, S, body, x_ref[...].astype(jnp.float32)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +538,52 @@ def _const_specs(arrays):
                          memory_space=pltpu.VMEM)
         )
     return specs
+
+
+def _const_spec(a):
+    return _const_specs([a])[0]
+
+
+def _full_weight_names(stage_names, final_names):
+    """Deduped weight-name list covering every stage + the final head."""
+    full_names = []
+    seen = set()
+    for ns in list(stage_names) + [final_names]:
+        for n in ns:
+            if n not in seen:
+                seen.add(n)
+                full_names.append(n)
+    return full_names
+
+
+def _fuse_scan_policy(flag: Optional[bool], BG: int, return_trajectory: bool):
+    """Whether to run the whole-scan megakernel.
+
+    `GRASPLDM_FUSED_SCAN` forces ("1") or disables ("0") it; otherwise an
+    explicit `fuse_scan` argument wins, and the auto default targets the
+    launch-overhead-dominated regime (v5e measurements in
+    tools/bench_sampler.py --mega): one launch for the whole trajectory
+    wins for small/medium BG, while at large BG the per-step compute is at
+    the MXU/VPU floor and per-step pipelining across chunks is better.
+    Trajectory capture needs per-step outputs, so it always falls back.
+    """
+    if return_trajectory:
+        return False
+    env = os.environ.get("GRASPLDM_FUSED_SCAN", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if flag is not None:
+        return flag
+    return _MEGA_AUTO(BG)
+
+
+# measured auto policy for the whole-scan megakernel (see the v5e
+# measurements in NEXT.md / tools/bench_sampler.py --mega); conservative
+# until a regime is measured to win
+def _MEGA_AUTO(BG: int) -> bool:
+    return False
 
 
 def _row_spec(R, cols):
@@ -504,6 +685,7 @@ def fused_sample(
     block_rows: int = 512,
     return_trajectory: bool = False,
     fuse_stages: Optional[bool] = None,
+    fuse_scan: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Reverse diffusion with a kernels-only scan body.
@@ -579,17 +761,48 @@ def fused_sample(
     final_names = _stage_weight_names(
         w, 0, dims, dims.block_channels[-1], final=True
     )
+    full_names = _full_weight_names(stage_names, final_names)
+
+    if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
+        # ONE launch for the WHOLE trajectory: a fori_loop over steps
+        # inside the kernel, weights/embin/tables VMEM-resident per chunk.
+        R = rs[-1]
+        if sampler == "ddpm":
+            # bound the per-chunk [S, R, L] noise block to ~8 MB VMEM
+            while (R > 8 and S * R * L * 4 > 8 * 1024 * 1024
+                   and BGp % (R // 2) == 0):
+                R //= 2
+        blocks = [
+            (x_T, _row_spec(R, L)),
+            (embin, _row_spec(R, W_emb)),
+            (trows[:, 0, :], _const_spec(trows[:, 0, :])),
+            (coefs[:, 0, :], _const_spec(coefs[:, 0, :])),
+        ]
+        if sampler == "ddpm":
+            # same PRNG consumption order as the per-step scan below
+            def _gen(key, _):
+                key, k_noise = jax.random.split(key)
+                return key, jax.random.normal(k_noise, (BGp, L))
+
+            _, noises = jax.lax.scan(_gen, k_loop, None, length=S)
+            blocks.append((
+                noises,
+                pl.BlockSpec((S, R, L), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ))
+        kern = functools.partial(
+            _mega_kernel, full_names, dims, cins, S, sampler,
+            schedule.clip_sample, schedule.clip_sample_range,
+        )
+        x0 = _launch(
+            kern, [w[n] for n in full_names], blocks, R, BGp // R, L,
+            jnp.float32, interpret,
+        )
+        return x0[:BG, None, :], None
 
     if fuse_stages:
         # ONE launch per step: init matmul + every stage + eps head +
         # scheduler update. All weights resident; one grid pass.
-        full_names = []
-        seen = set()
-        for ns in stage_names + [final_names]:
-            for n in ns:
-                if n not in seen:
-                    seen.add(n)
-                    full_names.append(n)
 
         def one_step_full(x, trow, coef, noise):
             R = rs[-1]
@@ -682,6 +895,7 @@ def fused_sample_dpmpp(
     block_rows: int = 512,
     return_trajectory: bool = False,
     fuse_stages: Optional[bool] = None,
+    fuse_scan: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """DPM-Solver++(2M) with a kernels-only scan body.
@@ -762,15 +976,26 @@ def fused_sample_dpmpp(
     final_names = _stage_weight_names(
         w, 0, dims, dims.block_channels[-1], final=True
     )
+    full_names = _full_weight_names(stage_names, final_names)
+
+    if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
+        R = rs[-1]
+        blocks = [
+            (x_T, _row_spec(R, L)),
+            (embin, _row_spec(R, W_emb)),
+            (trows[:, 0, :], _const_spec(trows[:, 0, :])),
+            (coefs[:, 0, :], _const_spec(coefs[:, 0, :])),
+        ]
+        kern = functools.partial(
+            _mega_dpmpp_kernel, full_names, dims, cins, N, clamp
+        )
+        x0 = _launch(
+            kern, [w[n] for n in full_names], blocks, R, BGp // R, L,
+            jnp.float32, interpret,
+        )
+        return x0[:BG, None, :], None
 
     if fuse_stages:
-        full_names = []
-        seen = set()
-        for ns in stage_names + [final_names]:
-            for n in ns:
-                if n not in seen:
-                    seen.add(n)
-                    full_names.append(n)
 
         def one_step(x, old, trow, coef):
             R = rs[-1]
@@ -858,6 +1083,7 @@ def fused_sample_churn(
     block_rows: int = 512,
     return_trajectory: bool = False,
     fuse_stages: Optional[bool] = None,
+    fuse_scan: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """EDM stochastic churn sampler (Heun) with a kernels-only scan body.
@@ -942,6 +1168,39 @@ def fused_sample_churn(
     final_names = _stage_weight_names(
         w, 0, dims, dims.block_channels[-1], final=True
     )
+    full_names = _full_weight_names(stage_names, final_names)
+
+    if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
+        R = rs[-1]
+        # bound the per-chunk [N, R, L] noise block to ~8 MB VMEM
+        while (R > 8 and N * R * L * 4 > 8 * 1024 * 1024
+               and BGp % (R // 2) == 0):
+            R //= 2
+
+        # same PRNG consumption order as the per-step scan below
+        def _gen(key, _):
+            key, k_eps = jax.random.split(key)
+            return key, jax.random.normal(k_eps, (BGp, L))
+
+        _, noises = jax.lax.scan(_gen, k_loop, None, length=N)
+        blocks = [
+            (x_T, _row_spec(R, L)),
+            (embin, _row_spec(R, W_emb)),
+            (trowsA[:, 0, :], _const_spec(trowsA[:, 0, :])),
+            (trowsB[:, 0, :], _const_spec(trowsB[:, 0, :])),
+            (coefA[:, 0, :], _const_spec(coefA[:, 0, :])),
+            (coefB[:, 0, :], _const_spec(coefB[:, 0, :])),
+            (noises, pl.BlockSpec((N, R, L), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)),
+        ]
+        kern = functools.partial(
+            _mega_churn_kernel, full_names, dims, cins, N, clamp
+        )
+        x0 = _launch(
+            kern, [w[n] for n in full_names], blocks, R, BGp // R, L,
+            jnp.float32, interpret,
+        )
+        return x0[:BG, None, :], None
 
     def run_mids(act, trow):
         for i, C in enumerate(cins):
@@ -963,13 +1222,6 @@ def fused_sample_churn(
         return act
 
     if fuse_stages:
-        full_names = []
-        seen = set()
-        for ns in stage_names + [final_names]:
-            for n in ns:
-                if n not in seen:
-                    seen.add(n)
-                    full_names.append(n)
 
         def one_step(x, noise, trowA, trowB, cA, cB):
             R = rs[-1]

@@ -98,8 +98,9 @@ class DynamicBatcher:
             model); validated at :meth:`submit` so a bad request fails
             itself immediately instead of depending on what it happens to
             be co-batched with. ``None`` (unknown model) skips validation;
-            mixed batches are then split by cls-presence before execution
-            so batch composition never changes a request's semantics.
+            the worker then coalesces per cls-presence group (the queue
+            head picks the group) so batch composition never changes a
+            request's semantics and mixed traffic still fills batches.
     """
 
     def __init__(
@@ -219,9 +220,22 @@ class DynamicBatcher:
                 if remaining <= 0 or self._closed:
                     break
                 self._cv.wait(timeout=remaining)
-            batch = []
+            # coalesce only requests matching the queue head's cls-presence
+            # (relevant with requires_cls=None and mixed traffic: grouping
+            # here keeps batches full instead of splitting every batch in
+            # two at execution time); skipped requests keep their place at
+            # the front of the queue
+            batch: List[_Pending] = []
+            head_has_cls = self._queue[0].cls_cond is not None
+            skipped: List[_Pending] = []
             while self._queue and len(batch) < self.max_batch:
-                batch.append(self._queue.popleft())
+                it = self._queue.popleft()
+                if (it.cls_cond is not None) == head_has_cls:
+                    batch.append(it)
+                else:
+                    skipped.append(it)
+            for it in reversed(skipped):
+                self._queue.appendleft(it)
             return batch
 
     def _run(self) -> None:
@@ -230,9 +244,9 @@ class DynamicBatcher:
             if batch is None:
                 return
             # a request's conditioning must not depend on who it was
-            # coalesced with: run cls-bearing and cls-less requests as
-            # separate batches (only reachable with requires_cls=None —
-            # otherwise submit() already enforced a uniform queue)
+            # coalesced with. _collect() already gathers a cls-uniform
+            # batch; this split is a defensive invariant (it is a no-op
+            # for uniform batches)
             with_cls = [it for it in batch if it.cls_cond is not None]
             without = [it for it in batch if it.cls_cond is None]
             for group in (with_cls, without):

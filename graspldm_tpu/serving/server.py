@@ -201,11 +201,20 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError(f"num_grasps must be in [1, {max_g}]")
             cls = req.get("cls")
             cls = float(cls) if cls is not None else None
-            # submit() validates pc shape/finiteness and cls-vs-model
-            # compatibility — those are caller errors, hence 400
-            fut = self.batcher.submit(points, num_grasps, cls_cond=cls)
         except Exception as e:  # malformed request
             self._reply(400, {"error": str(e)})
+            return
+        try:
+            # submit() raises ValueError for caller errors (pc shape /
+            # finiteness / cls-vs-model compatibility → 400) and
+            # RuntimeError when the batcher is closed — a server-state
+            # condition, not a caller error, hence 503
+            fut = self.batcher.submit(points, num_grasps, cls_cond=cls)
+        except ValueError as e:
+            self._reply(400, {"error": str(e)})
+            return
+        except RuntimeError as e:
+            self._reply(503, {"error": str(e)})
             return
         try:
             res = fut.result(timeout=self.request_timeout_s)

@@ -392,6 +392,15 @@ def test_fused_sampler_z16_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
     )
+    # the whole-scan megakernel at z16 (sliced convs / grouped qkv forms)
+    got_mega, _ = fused_sample(
+        w, dims, schedule, ie, jax.random.PRNGKey(3), batch_size=BG,
+        num_inference_steps=3, sampler="ddim", block_rows=8, interpret=True,
+        fuse_scan=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mega), np.asarray(want), atol=5e-4, rtol=5e-4
+    )
 
 
 def test_fused_dpmpp_sampler_parity():
@@ -498,6 +507,97 @@ def test_fused_churn_sampler_parity():
             np.asarray(got_traj), np.asarray(want_traj), atol=5e-4,
             rtol=5e-4,
         )
+
+
+def test_mega_sampler_parity():
+    """fuse_scan=True (the whole-scan megakernel: ONE launch per row
+    chunk, fori_loop over ALL steps inside the kernel with weights and
+    conditioning VMEM-resident) equals the per-step fused samplers for
+    every family — same kernel math, same PRNG consumption (per-step
+    noise precomputed outside the kernel in the same split order)."""
+    from graspldm_tpu.diffusion import ElucidatedDiffusion
+    from graspldm_tpu.diffusion.schedules import DiffusionSchedule
+    from graspldm_tpu.models.pallas_sampler import (
+        fused_sample,
+        fused_sample_churn,
+        fused_sample_dpmpp,
+    )
+    from graspldm_tpu.models.stacked_denoiser import (
+        FLAGSHIP_DIMS,
+        compute_input_emb,
+    )
+    from graspldm_tpu.models.stacked_pallas import pack_pallas_weights
+
+    ddm = GraspLatentDDM(dropout=None)
+    key = jax.random.PRNGKey(91)
+    BG = 8
+    x = jax.random.normal(key, (BG, 1, 4))
+    t = jnp.zeros((BG,), jnp.int32)
+    zc = jax.random.normal(jax.random.PRNGKey(92), (BG, 3, 64))
+    variables = ddm.init({"params": key}, x, t, zc)
+    schedule = DiffusionSchedule.create(num_steps=30)
+    w = pack_pallas_weights(variables, FLAGSHIP_DIMS, dtype=jnp.float32)
+    ie = compute_input_emb(w, zc)
+
+    for sampler in ("ddim", "ddpm"):
+        a, _ = fused_sample(
+            w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(3),
+            batch_size=BG, num_inference_steps=3, sampler=sampler,
+            block_rows=8, interpret=True,
+        )
+        b, traj = fused_sample(
+            w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(3),
+            batch_size=BG, num_inference_steps=3, sampler=sampler,
+            block_rows=8, interpret=True, fuse_scan=True,
+        )
+        assert traj is None
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
+        )
+
+    # padded rows: BG not a multiple of block_rows; pad rows run as
+    # garbage through all steps and are sliced away
+    a, _ = fused_sample(
+        w, FLAGSHIP_DIMS, schedule, ie[:6], jax.random.PRNGKey(4),
+        batch_size=6, num_inference_steps=3, sampler="ddim",
+        block_rows=4, interpret=True,
+    )
+    b, _ = fused_sample(
+        w, FLAGSHIP_DIMS, schedule, ie[:6], jax.random.PRNGKey(4),
+        batch_size=6, num_inference_steps=3, sampler="ddim",
+        block_rows=4, interpret=True, fuse_scan=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
+    )
+
+    ed = ElucidatedDiffusion(n_dims=4, num_sample_steps=4)
+    a, _ = fused_sample_dpmpp(
+        w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(5), batch_size=BG,
+        num_sample_steps=4, block_rows=8, interpret=True,
+    )
+    b, _ = fused_sample_dpmpp(
+        w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(5), batch_size=BG,
+        num_sample_steps=4, block_rows=8, interpret=True, fuse_scan=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
+    )
+
+    a, _ = fused_sample_churn(
+        w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(6), batch_size=BG,
+        num_sample_steps=4, block_rows=8, interpret=True,
+    )
+    b, _ = fused_sample_churn(
+        w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(6), batch_size=BG,
+        num_sample_steps=4, block_rows=8, interpret=True, fuse_scan=True,
+    )
+    # both paths share _churn_step_v; the residual is fusion-ordering
+    # noise amplified by the two-eval Heun dynamics (same 5e-4 budget as
+    # the reference-parity sampler tests above)
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4
+    )
 
 
 def test_decoder_fast_path_parity():

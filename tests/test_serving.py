@@ -191,6 +191,38 @@ def test_batcher_mixed_cls_batch_splits():
         b.close()
 
 
+def test_batcher_mixed_traffic_keeps_full_batches():
+    """Steady interleaved cls/no-cls traffic must coalesce per GROUP at
+    collection time (queue head picks the group), not collect a mixed
+    batch and halve it at execution — 8 interleaved requests with
+    max_batch=4 run as exactly two full uniform batches."""
+    record = []
+    b = DynamicBatcher(
+        _fake_generate(record), num_points=8, max_batch=4, max_wait_ms=200.0
+    )
+    try:
+        futs = []
+        for i in range(8):
+            cls = 1.0 if i % 2 == 0 else None
+            futs.append(b.submit(np.ones((8, 3), np.float32), 1, cls_cond=cls))
+        for f in futs:
+            f.result(timeout=10)
+        assert len(record) == 2, record
+        assert sorted(s for s, _ in record) == [4, 4]
+        # one batch carried cls for all rows, the other none
+        cls_presence = sorted(c is not None for _, c in record)
+        assert cls_presence == [False, True]
+    finally:
+        b.close()
+
+
+def test_batcher_closed_submit_raises_runtimeerror():
+    b = DynamicBatcher(_fake_generate(), num_points=8, max_batch=2)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.ones((8, 3), np.float32), 1)
+
+
 # -- HTTP layer --
 
 
@@ -279,6 +311,20 @@ def test_http_health_and_errors(http_server):
     assert status in (200, 500)
     status, _ = _get(addr, "/healthz")
     assert status == 200
+
+
+def test_http_closed_batcher_returns_503():
+    """A closed batcher is server state, not a caller error: 503."""
+    b = DynamicBatcher(_fake_generate(), num_points=8, max_batch=2)
+    srv = GraspServer(b, host="127.0.0.1", port=0, info={"num_grasps": 4})
+    srv.start_background()
+    try:
+        b.close()
+        status, body = _post(srv.address, "/v1/generate",
+                             {"points": [[0, 0, 0]], "num_grasps": 1})
+        assert status == 503 and "closed" in body["error"]
+    finally:
+        srv.shutdown()
 
 
 # -- real tiny model end-to-end (CPU) --

@@ -349,8 +349,10 @@ class TestBestByLossWindow:
         fallback must still track the loss at every checkpoint boundary
         (scripted strictly-decreasing losses -> `best` lands on the LAST
         step), instead of being pinned to the first logged window."""
-        from graspldm_tpu.training.experiment import Experiment
-        from graspldm_tpu.training.state import restore_checkpoint
+        from graspldm_tpu.training.experiment import (
+            Experiment,
+            restore_checkpoint,
+        )
         from graspldm_tpu.training.trainer import GraspGenerationTrainer
 
         losses = [5.0, 4.0, 3.0, 2.0]

@@ -231,11 +231,7 @@ def main():
         # must score the same objects: under multi-host training `dataset`
         # holds only this process's record shard — rebuild the full,
         # unsharded dataset for eval
-        eval_ds = (
-            build_from_cfg(ds_cfg, DATASETS)
-            if jax.process_count() > 1
-            else dataset
-        )
+        eval_ds = None
         split = eval_cfg.get("split")
         if split:
             try:
@@ -247,6 +243,12 @@ def main():
             except Exception as e:  # fall back to held-out train items
                 print(f"[eval] {split} split unavailable ({e}); "
                       "evaluating on train items")
+        if eval_ds is None:
+            eval_ds = (
+                build_from_cfg(ds_cfg, DATASETS)
+                if jax.process_count() > 1
+                else dataset
+            )
         k = min(int(eval_cfg.get("num_objects", 8)), len(eval_ds))
         eval_fn = make_generation_eval_fn(
             trainer, eval_ds, list(range(k)),
