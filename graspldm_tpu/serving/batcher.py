@@ -207,6 +207,15 @@ class DynamicBatcher:
 
     # -- worker --
 
+    def _head_group_size(self) -> int:
+        """Queued requests matching the head's cls-presence (cv held)."""
+        if not self._queue:
+            return 0
+        head = self._queue[0].cls_cond is not None
+        return sum(
+            1 for it in self._queue if (it.cls_cond is not None) == head
+        )
+
     def _collect(self) -> Optional[List[_Pending]]:
         """Block for the first request, then coalesce up to the deadline."""
         with self._cv:
@@ -215,7 +224,11 @@ class DynamicBatcher:
             if not self._queue:
                 return None  # closed and drained
             deadline = time.perf_counter() + self.max_wait_s
-            while len(self._queue) < self.max_batch:
+            # the batch below holds only requests matching the queue head's
+            # cls-presence, so the fill criterion must count THAT group —
+            # counting the whole queue would fire a half-full batch as soon
+            # as interleaved cls/no-cls traffic reaches max_batch in total
+            while self._head_group_size() < self.max_batch:
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0 or self._closed:
                     break

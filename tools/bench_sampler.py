@@ -104,9 +104,20 @@ def main():
         )
         return x0
 
+    @jax.jit
+    def run_mega(ie, key):
+        x0, _ = fused_sample(
+            w, dims, schedule, ie, key, batch_size=BG,
+            num_inference_steps=steps, sampler="ddim", block_rows=rows,
+            fuse_scan=True,
+        )
+        return x0
+
     variants = [("scan", run_scan), ("fused", run_fused)]
     if os.environ.get("GRASPLDM_BENCH_FUSE1", "1") != "0":
         variants.append(("fused1", run_fused1))
+    if "--mega" in sys.argv:
+        variants.append(("mega", run_mega))
     if "--only" in sys.argv:
         keep = sys.argv[sys.argv.index("--only") + 1].split(",")
         variants = [v for v in variants if v[0] in keep]
