@@ -104,20 +104,40 @@ def _mid_stage_kernel(names, dims, stage_i, C, *refs):
     out_ref[...] = _conv3_k(x, g, f"b{stage_i}_proj", L, C, x.dtype)
 
 
-def _scheduler_update_v(eps, xt, c, noise, sampler, clip, clip_range):
+def _ct(c, j, lanes=1):
+    """The j-th coefficient slice of a packed row ``c [1, 8*lanes]``.
+
+    Per-step kernels pass lanes=1: the row is a STATIC [1, 8] block, so
+    Mosaic splats the [1, 1] slice across both sublanes and lanes. The
+    whole-scan megakernels read the row with a DYNAMIC ``pl.ds(s, 1)``
+    slice, where that two-axis broadcast is "Not implemented" — they pass
+    a lane-PRE-TILED table (each coefficient repeated ``lanes`` times, see
+    :func:`_lane_tile`) so the [1, lanes] slice broadcasts along sublanes
+    only.
+    """
+    return c[:, j * lanes : (j + 1) * lanes]
+
+
+def _lane_tile(rows, lanes):
+    """[S, K] coefficient rows -> [S, K*lanes], entry j tiled contiguous."""
+    return jnp.repeat(rows, lanes, axis=-1)
+
+
+def _scheduler_update_v(eps, xt, c, noise, sampler, clip, clip_range,
+                        lanes=1):
     """DDIM / DDPM update on fp32 VMEM VALUES (shared by all kernels)."""
-    # [1, 1] coefficient slices broadcast against [R, L] (no scalar
-    # extracts — lane/sublane broadcasts are the safe Mosaic lowering)
-    a, b = c[:, 0:1], c[:, 1:2]
+    # coefficient slices broadcast against [R, L] (no scalar extracts —
+    # lane/sublane broadcasts are the safe Mosaic lowering; see _ct)
+    a, b = _ct(c, 0, lanes), _ct(c, 1, lanes)
     x0 = a * xt - b * eps
     if clip:
         x0 = jnp.clip(x0, -clip_range, clip_range)
     if sampler == "ddim":
         # x_{t-1} = d * x_t + e * clip(x0)   (affine residue of ddim_step)
-        d, e = c[:, 2:3], c[:, 3:4]
+        d, e = _ct(c, 2, lanes), _ct(c, 3, lanes)
         return d * xt + e * x0
     # ddpm: posterior mean + sigma * noise
-    c0, c1, sigma = c[:, 2:3], c[:, 3:4], c[:, 4:5]
+    c0, c1, sigma = _ct(c, 2, lanes), _ct(c, 3, lanes), _ct(c, 4, lanes)
     return c0 * x0 + c1 * xt + sigma * noise
 
 
@@ -205,12 +225,12 @@ def _stage0_dpmpp_kernel(names, dims, C, *refs):
     out_ref[...] = _conv3_k(x, g, "b0_proj", L, C, x.dtype)
 
 
-def _dpmpp_update_v(net_out, xt, old, c, clamp):
+def _dpmpp_update_v(net_out, xt, old, c, clamp, lanes=1):
     """(x_new, denoised) from the 2M update (`elucidated.py:203-225`) on
     fp32 values, all step constants precomputed into the coefficient row."""
-    cskip, cout = c[:, 1:2], c[:, 2:3]
-    g1, g2 = c[:, 3:4], c[:, 4:5]
-    ratio, em1 = c[:, 5:6], c[:, 6:7]
+    cskip, cout = _ct(c, 1, lanes), _ct(c, 2, lanes)
+    g1, g2 = _ct(c, 3, lanes), _ct(c, 4, lanes)
+    ratio, em1 = _ct(c, 5, lanes), _ct(c, 6, lanes)
     denoised = cskip * xt + cout * net_out
     if clamp:
         denoised = jnp.clip(denoised, -1.0, 1.0)
@@ -287,8 +307,8 @@ def _full_dpmpp_kernel(names, dims, cins, clamp, *refs):
 # coefB row: [cinB, cskipB, coutB, s_eps, hh=0.5*dsc, inv_sn, sel, 0]
 
 
-def _xhat_v(x, noise, c):
-    return x + c[:, 3:4] * noise
+def _xhat_v(x, noise, c, lanes=1):
+    return x + _ct(c, 3, lanes) * noise
 
 
 def _xhat(x_ref, noise_ref, c):
@@ -314,14 +334,14 @@ def _stage0_churn_a_kernel(names, dims, C, *refs):
     out_ref[...] = _conv3_k(x, g, "b0_proj", L, C, x.dtype)
 
 
-def _churn_a_update_v(netA, x, noise, c, clamp):
+def _churn_a_update_v(netA, x, noise, c, clamp, lanes=1):
     """(x_eul, d) from the Euler half-step, on fp32 values."""
-    x_hat = _xhat_v(x, noise, c)
-    den = c[:, 1:2] * x_hat + c[:, 2:3] * netA
+    x_hat = _xhat_v(x, noise, c, lanes)
+    den = _ct(c, 1, lanes) * x_hat + _ct(c, 2, lanes) * netA
     if clamp:
         den = jnp.clip(den, -1.0, 1.0)
-    d = (x_hat - den) * c[:, 5:6]
-    return x_hat + c[:, 4:5] * d, d
+    d = (x_hat - den) * _ct(c, 5, lanes)
+    return x_hat + _ct(c, 4, lanes) * d, d
 
 
 def _churn_a_update(netA, x_ref, noise_ref, coef_ref, clamp):
@@ -349,16 +369,16 @@ def _final_churn_a_kernel(names, dims, C, clamp, *refs):
     d_out[...] = d
 
 
-def _churn_b_update_v(netB, x_eul, d, x, noise, c, clamp):
+def _churn_b_update_v(netB, x_eul, d, x, noise, c, clamp, lanes=1):
     """x_new from the Heun correction (static first/last-step select),
     on fp32 values."""
-    den = c[:, 1:2] * x_eul + c[:, 2:3] * netB
+    den = _ct(c, 1, lanes) * x_eul + _ct(c, 2, lanes) * netB
     if clamp:
         den = jnp.clip(den, -1.0, 1.0)
-    d_prime = (x_eul - den) * c[:, 5:6]
-    x_hat = _xhat_v(x, noise, c)
-    x_heun = x_hat + c[:, 4:5] * (d + d_prime)
-    sel = c[:, 6:7]
+    d_prime = (x_eul - den) * _ct(c, 5, lanes)
+    x_hat = _xhat_v(x, noise, c, lanes)
+    x_heun = x_hat + _ct(c, 4, lanes) * (d + d_prime)
+    sel = _ct(c, 6, lanes)
     return sel * x_heun + (1.0 - sel) * x_eul
 
 
@@ -406,13 +426,16 @@ def _net_in_kernel(x, emb, g, dims, cins):
     return (_mmd(h, g["final_W"], h.dtype) + g["final_b"]).astype(jnp.float32)
 
 
-def _churn_step_v(x, noise, embA, embB, cA, cB, g, dims, cins, clamp):
+def _churn_step_v(x, noise, embA, embB, cA, cB, g, dims, cins, clamp,
+                  lanes=1):
     """One full churn step (both net evaluations) on fp32 values."""
-    netA = _net_in_kernel(cA[:, 0:1] * _xhat_v(x, noise, cA), embA, g, dims,
-                          cins)
-    x_eul, d = _churn_a_update_v(netA, x, noise, cA, clamp)
-    netB = _net_in_kernel(cB[:, 0:1] * x_eul, embB, g, dims, cins)
-    return _churn_b_update_v(netB, x_eul, d, x, noise, cB, clamp)
+    netA = _net_in_kernel(
+        _ct(cA, 0, lanes) * _xhat_v(x, noise, cA, lanes), embA, g, dims,
+        cins,
+    )
+    x_eul, d = _churn_a_update_v(netA, x, noise, cA, clamp, lanes)
+    netB = _net_in_kernel(_ct(cB, 0, lanes) * x_eul, embB, g, dims, cins)
+    return _churn_b_update_v(netB, x_eul, d, x, noise, cB, clamp, lanes)
 
 
 def _full_churn_kernel(names, dims, cins, clamp, *refs):
@@ -457,7 +480,12 @@ def _full_churn_kernel(names, dims, cins, clamp, *refs):
 
 
 def _mega_kernel(names, dims, cins, S, sampler, clip, clip_range, *refs):
-    """DDIM/DDPM: the ENTIRE reverse diffusion for one row chunk."""
+    """DDIM/DDPM: the ENTIRE reverse diffusion for one row chunk.
+
+    The coefficient table is lane-PRE-TILED ([S, 8*L]): its rows are read
+    with a dynamic ``pl.ds`` slice, where a [1, 1]-to-[R, L] two-axis
+    broadcast does not lower (see :func:`_ct`).
+    """
     x_ref, embin_ref, trows_ref, coefs_ref = refs[:4]
     has_noise = sampler == "ddpm"
     noise_ref = refs[4] if has_noise else None
@@ -466,6 +494,7 @@ def _mega_kernel(names, dims, cins, S, sampler, clip, clip_range, *refs):
     g = {n: r[...] for n, r in zip(names, refs[w0:-1])}
     dtype = g["init_W"].dtype
     embin = embin_ref[...]
+    L = dims.seq_len
 
     def body(s, x):
         trow = trows_ref[pl.ds(s, 1), :]
@@ -474,7 +503,7 @@ def _mega_kernel(names, dims, cins, S, sampler, clip, clip_range, *refs):
         eps = _net_in_kernel(x, emb, g, dims, cins)
         noise = noise_ref[s] if has_noise else None
         return _scheduler_update_v(eps, x, c, noise, sampler, clip,
-                                   clip_range)
+                                   clip_range, lanes=L)
 
     out_ref[...] = jax.lax.fori_loop(
         0, S, body, x_ref[...].astype(jnp.float32)
@@ -488,14 +517,15 @@ def _mega_dpmpp_kernel(names, dims, cins, S, clamp, *refs):
     g = {n: r[...] for n, r in zip(names, refs[4:-1])}
     dtype = g["init_W"].dtype
     embin = embin_ref[...]
+    L = dims.seq_len
 
     def body(s, carry):
         x, old = carry
         trow = trows_ref[pl.ds(s, 1), :]
         c = coefs_ref[pl.ds(s, 1), :].astype(jnp.float32)
         emb = _emb_from_row(embin, trow, dtype)
-        net = _net_in_kernel(c[:, 0:1] * x, emb, g, dims, cins)
-        return _dpmpp_update_v(net, x, old, c, clamp)
+        net = _net_in_kernel(_ct(c, 0, L) * x, emb, g, dims, cins)
+        return _dpmpp_update_v(net, x, old, c, clamp, lanes=L)
 
     x0 = x_ref[...].astype(jnp.float32)
     x0, _ = jax.lax.fori_loop(0, S, body, (x0, jnp.zeros_like(x0)))
@@ -510,6 +540,7 @@ def _mega_churn_kernel(names, dims, cins, S, clamp, *refs):
     g = {n: r[...] for n, r in zip(names, refs[7:-1])}
     dtype = g["init_W"].dtype
     embin = embin_ref[...]
+    L = dims.seq_len
 
     def body(s, x):
         embA = _emb_from_row(embin, trowsA_ref[pl.ds(s, 1), :], dtype)
@@ -517,7 +548,7 @@ def _mega_churn_kernel(names, dims, cins, S, clamp, *refs):
         cA = coefA_ref[pl.ds(s, 1), :].astype(jnp.float32)
         cB = coefB_ref[pl.ds(s, 1), :].astype(jnp.float32)
         return _churn_step_v(x, noise_ref[s], embA, embB, cA, cB, g, dims,
-                             cins, clamp)
+                             cins, clamp, lanes=L)
 
     out_ref[...] = jax.lax.fori_loop(
         0, S, body, x_ref[...].astype(jnp.float32)
@@ -772,11 +803,12 @@ def fused_sample(
             while (R > 8 and S * R * L * 4 > 8 * 1024 * 1024
                    and BGp % (R // 2) == 0):
                 R //= 2
+        coefs_lt = _lane_tile(coefs[:, 0, :], L)
         blocks = [
             (x_T, _row_spec(R, L)),
             (embin, _row_spec(R, W_emb)),
             (trows[:, 0, :], _const_spec(trows[:, 0, :])),
-            (coefs[:, 0, :], _const_spec(coefs[:, 0, :])),
+            (coefs_lt, _const_spec(coefs_lt)),
         ]
         if sampler == "ddpm":
             # same PRNG consumption order as the per-step scan below
@@ -980,11 +1012,12 @@ def fused_sample_dpmpp(
 
     if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
         R = rs[-1]
+        coefs_lt = _lane_tile(coefs[:, 0, :], L)
         blocks = [
             (x_T, _row_spec(R, L)),
             (embin, _row_spec(R, W_emb)),
             (trows[:, 0, :], _const_spec(trows[:, 0, :])),
-            (coefs[:, 0, :], _const_spec(coefs[:, 0, :])),
+            (coefs_lt, _const_spec(coefs_lt)),
         ]
         kern = functools.partial(
             _mega_dpmpp_kernel, full_names, dims, cins, N, clamp
@@ -1183,13 +1216,15 @@ def fused_sample_churn(
             return key, jax.random.normal(k_eps, (BGp, L))
 
         _, noises = jax.lax.scan(_gen, k_loop, None, length=N)
+        coefA_lt = _lane_tile(coefA[:, 0, :], L)
+        coefB_lt = _lane_tile(coefB[:, 0, :], L)
         blocks = [
             (x_T, _row_spec(R, L)),
             (embin, _row_spec(R, W_emb)),
             (trowsA[:, 0, :], _const_spec(trowsA[:, 0, :])),
             (trowsB[:, 0, :], _const_spec(trowsB[:, 0, :])),
-            (coefA[:, 0, :], _const_spec(coefA[:, 0, :])),
-            (coefB[:, 0, :], _const_spec(coefB[:, 0, :])),
+            (coefA_lt, _const_spec(coefA_lt)),
+            (coefB_lt, _const_spec(coefB_lt)),
             (noises, pl.BlockSpec((N, R, L), lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)),
         ]
