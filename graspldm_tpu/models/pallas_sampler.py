@@ -591,12 +591,22 @@ def _fuse_scan_policy(flag: Optional[bool], BG: int, return_trajectory: bool):
     """Whether to run the whole-scan megakernel.
 
     `GRASPLDM_FUSED_SCAN` forces ("1") or disables ("0") it; otherwise an
-    explicit `fuse_scan` argument wins, and the auto default targets the
-    launch-overhead-dominated regime (v5e measurements in
-    tools/bench_sampler.py --mega): one launch for the whole trajectory
-    wins for small/medium BG, while at large BG the per-step compute is at
-    the MXU/VPU floor and per-step pipelining across chunks is better.
-    Trajectory capture needs per-step outputs, so it always falls back.
+    explicit `fuse_scan` argument wins, and the auto default is ON: the
+    megakernel measured fastest in EVERY regime (v5e, bf16, 100-step DDIM,
+    tools/bench_sampler.py --mega; ms/step fused / fused1 / mega):
+
+        z4  BG=1024   0.185 / 0.210 /  0.155
+        z4  BG=8192   1.293 / 1.424 /  1.256
+        z4  BG=32768  5.118 / 5.641 /  5.024
+        z16 BG=1024   1.055 / 0.848 /  0.794
+        z16 BG=8192   7.088 / 6.518 /  6.383
+        z16 BG=32768 27.855 / 25.933 / 25.341
+
+    Keeping the whole trajectory VMEM-resident per row chunk beats both
+    per-step lowerings even where per-step compute is at the MXU/VPU floor
+    (the 100 launch + scan-glue round trips still cost ~2%), and by 10-20%
+    in the launch-overhead-dominated small-BG regime. Trajectory capture
+    needs per-step outputs, so it always falls back to the per-step scan.
     """
     if return_trajectory:
         return False
@@ -610,11 +620,10 @@ def _fuse_scan_policy(flag: Optional[bool], BG: int, return_trajectory: bool):
     return _MEGA_AUTO(BG)
 
 
-# measured auto policy for the whole-scan megakernel (see the v5e
-# measurements in NEXT.md / tools/bench_sampler.py --mega); conservative
-# until a regime is measured to win
+# measured auto policy for the whole-scan megakernel: wins everywhere
+# measured (table in _fuse_scan_policy)
 def _MEGA_AUTO(BG: int) -> bool:
-    return False
+    return True
 
 
 def _row_spec(R, cols):

@@ -287,11 +287,17 @@ def test_fused_sampler_parity():
             rtol=5e-4,
         )
 
-    # padded-rows case: BG not a multiple of block_rows
+    # padded-rows case: BG not a multiple of block_rows (per-step AND
+    # whole-scan lowerings — pad rows run as garbage end-to-end in both)
     got_pad, _ = fused_sample(
         w, FLAGSHIP_DIMS, schedule, ie[:10], jax.random.PRNGKey(9),
         batch_size=10, num_inference_steps=5, sampler="ddim",
-        block_rows=8, interpret=True,
+        block_rows=8, interpret=True, fuse_scan=False,
+    )
+    got_pad_mega, _ = fused_sample(
+        w, FLAGSHIP_DIMS, schedule, ie[:10], jax.random.PRNGKey(9),
+        batch_size=10, num_inference_steps=5, sampler="ddim",
+        block_rows=8, interpret=True, fuse_scan=True,
     )
     def denoise10(x, t, z):
         return stacked_denoiser_pallas_apply(
@@ -305,6 +311,9 @@ def test_fused_sampler_parity():
     )
     np.testing.assert_allclose(
         np.asarray(got_pad), np.asarray(want_pad), atol=5e-4, rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pad_mega), np.asarray(want_pad), atol=5e-4, rtol=5e-4
     )
 
 
@@ -334,12 +343,12 @@ def test_fused_sampler_fuse_stages_parity():
         a, _ = fused_sample(
             w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(2),
             batch_size=BG, num_inference_steps=3, sampler=sampler,
-            block_rows=8, interpret=True,
+            block_rows=8, interpret=True, fuse_scan=False,
         )
         b, _ = fused_sample(
             w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(2),
             batch_size=BG, num_inference_steps=3, sampler=sampler,
-            block_rows=8, interpret=True, fuse_stages=True,
+            block_rows=8, interpret=True, fuse_stages=True, fuse_scan=False,
         )
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
@@ -388,6 +397,7 @@ def test_fused_sampler_z16_parity():
     got, _ = fused_sample(
         w, dims, schedule, ie, jax.random.PRNGKey(3), batch_size=BG,
         num_inference_steps=3, sampler="ddim", block_rows=8, interpret=True,
+        fuse_scan=False,
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
@@ -543,7 +553,7 @@ def test_mega_sampler_parity():
         a, _ = fused_sample(
             w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(3),
             batch_size=BG, num_inference_steps=3, sampler=sampler,
-            block_rows=8, interpret=True,
+            block_rows=8, interpret=True, fuse_scan=False,
         )
         b, traj = fused_sample(
             w, FLAGSHIP_DIMS, schedule, ie, jax.random.PRNGKey(3),
@@ -560,7 +570,7 @@ def test_mega_sampler_parity():
     a, _ = fused_sample(
         w, FLAGSHIP_DIMS, schedule, ie[:6], jax.random.PRNGKey(4),
         batch_size=6, num_inference_steps=3, sampler="ddim",
-        block_rows=4, interpret=True,
+        block_rows=4, interpret=True, fuse_scan=False,
     )
     b, _ = fused_sample(
         w, FLAGSHIP_DIMS, schedule, ie[:6], jax.random.PRNGKey(4),
@@ -574,7 +584,7 @@ def test_mega_sampler_parity():
     ed = ElucidatedDiffusion(n_dims=4, num_sample_steps=4)
     a, _ = fused_sample_dpmpp(
         w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(5), batch_size=BG,
-        num_sample_steps=4, block_rows=8, interpret=True,
+        num_sample_steps=4, block_rows=8, interpret=True, fuse_scan=False,
     )
     b, _ = fused_sample_dpmpp(
         w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(5), batch_size=BG,
@@ -586,7 +596,7 @@ def test_mega_sampler_parity():
 
     a, _ = fused_sample_churn(
         w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(6), batch_size=BG,
-        num_sample_steps=4, block_rows=8, interpret=True,
+        num_sample_steps=4, block_rows=8, interpret=True, fuse_scan=False,
     )
     b, _ = fused_sample_churn(
         w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(6), batch_size=BG,

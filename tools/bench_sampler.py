@@ -10,6 +10,8 @@ Compares three lowerings of the SAME sampler math at flagship dims:
   * fused1  — fused_sample(fuse_stages=True) (ONE launch per step).
 
     python tools/bench_sampler.py [BG] [--z16] [--steps N]
+    python tools/bench_sampler.py [BG] --sampler dpmpp   # EDM DPM++(2M), 32 steps
+    python tools/bench_sampler.py [BG] --sampler churn   # EDM stochastic Heun
 """
 
 from __future__ import annotations
@@ -50,6 +52,11 @@ def main():
         if "--rows" in sys.argv
         else 512
     )
+    sampler = (
+        sys.argv[sys.argv.index("--sampler") + 1]
+        if "--sampler" in sys.argv
+        else "ddim"
+    )
     L, cond = (16, 256) if z16 else (4, 64)
     dims = DenoiserDims(
         seq_len=L, block_channels=(32, 64, 128, 256), groups=4,
@@ -73,6 +80,10 @@ def main():
     zc = jax.random.normal(jax.random.PRNGKey(2), (BG, 3, cond))
     ie = jax.jit(lambda z: compute_input_emb(w, z))(zc)
 
+    if sampler in ("dpmpp", "churn"):
+        _run_edm(sampler, w, dims, zc, ie, BG, steps, rows)
+        return
+
     @jax.jit
     def run_scan(ie, key):
         def denoise(x, t, z):
@@ -91,7 +102,7 @@ def main():
         x0, _ = fused_sample(
             w, dims, schedule, ie, key, batch_size=BG,
             num_inference_steps=steps, sampler="ddim", block_rows=rows,
-            fuse_stages=False,
+            fuse_stages=False, fuse_scan=False,
         )
         return x0
 
@@ -100,7 +111,7 @@ def main():
         x0, _ = fused_sample(
             w, dims, schedule, ie, key, batch_size=BG,
             num_inference_steps=steps, sampler="ddim", block_rows=rows,
-            fuse_stages=True,
+            fuse_stages=True, fuse_scan=False,
         )
         return x0
 
@@ -118,6 +129,10 @@ def main():
         variants.append(("fused1", run_fused1))
     if "--mega" in sys.argv:
         variants.append(("mega", run_mega))
+    _time_variants(variants, ie, steps, BG)
+
+
+def _time_variants(variants, ie, steps, BG):
     if "--only" in sys.argv:
         keep = sys.argv[sys.argv.index("--only") + 1].split(",")
         variants = [v for v in variants if v[0] in keep]
@@ -132,6 +147,58 @@ def main():
             f"({s * 1e3 / steps:6.3f} ms/step, BG={BG}, "
             f"{BG / s:9.1f} latents/s)"
         )
+
+
+def _run_edm(sampler, w, dims, zc, ie, BG, steps, rows):
+    """EDM samplers (DPM++(2M) / stochastic churn): scan vs fused lowerings.
+
+    `--steps` defaults to 100 for DDIM; the reference wires 32 for DPM++
+    (`tools/inference.py:472-477`), so pass `--steps 32` to match headline
+    protocol.
+    """
+    from graspldm_tpu.diffusion import ElucidatedDiffusion
+    from graspldm_tpu.models.pallas_sampler import (
+        fused_sample_churn,
+        fused_sample_dpmpp,
+    )
+    from graspldm_tpu.models.stacked_pallas import (
+        stacked_denoiser_pallas_apply,
+    )
+
+    ed = ElucidatedDiffusion(n_dims=dims.seq_len)
+    fused_fn = fused_sample_dpmpp if sampler == "dpmpp" else fused_sample_churn
+
+    @jax.jit
+    def run_scan(ie, key):
+        def denoise(x, t, z):
+            return stacked_denoiser_pallas_apply(
+                w, x, t, z, dims, block_rows=rows, input_emb=ie
+            )
+
+        x0, _ = ed.sample(
+            denoise, key, batch_size=BG, z_cond=zc, num_sample_steps=steps,
+            use_dpmpp=(sampler == "dpmpp"),
+        )
+        return x0
+
+    def _fused(fuse_stages, fuse_scan):
+        @jax.jit
+        def run(ie, key):
+            x0, _ = fused_fn(
+                w, dims, ed, ie, key, batch_size=BG, num_sample_steps=steps,
+                block_rows=rows, fuse_stages=fuse_stages, fuse_scan=fuse_scan,
+            )
+            return x0
+
+        return run
+
+    variants = [
+        ("scan", run_scan),
+        ("fused", _fused(False, False)),
+        ("fused1", _fused(True, False)),
+        ("mega", _fused(None, True)),
+    ]
+    _time_variants(variants, ie, steps, BG)
 
 
 if __name__ == "__main__":
