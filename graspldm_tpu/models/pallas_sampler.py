@@ -626,6 +626,22 @@ def _MEGA_AUTO(BG: int) -> bool:
     return True
 
 
+def _mega_rows(R: int, BGp: int) -> int:
+    """Row-chunk size for the megakernel grid.
+
+    A SINGLE chunk measured fastest at small BG (v5e, 100-step DDIM
+    ms/trajectory at BG=1024, rows 256/512/1024: z4 13.47/14.54/13.34;
+    z16 79.01/79.06/78.61) — one grid step keeps every weight load
+    one-time and drops inter-chunk pipeline bubbles. The bump is gated to
+    the measured regime (128 <= BGp <= 1024, sublane-aligned) so tiny
+    interpret-mode test shapes keep exercising the multi-chunk grid and
+    large-BG chunking (where per-chunk pipelining wins) is untouched.
+    """
+    if R < BGp <= 1024 and BGp >= 128 and BGp % 8 == 0:
+        return BGp
+    return R
+
+
 def _row_spec(R, cols):
     return pl.BlockSpec((R, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -806,7 +822,7 @@ def fused_sample(
     if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
         # ONE launch for the WHOLE trajectory: a fori_loop over steps
         # inside the kernel, weights/embin/tables VMEM-resident per chunk.
-        R = rs[-1]
+        R = _mega_rows(rs[-1], BGp)
         if sampler == "ddpm":
             # bound the per-chunk [S, R, L] noise block to ~8 MB VMEM
             while (R > 8 and S * R * L * 4 > 8 * 1024 * 1024
@@ -1020,7 +1036,7 @@ def fused_sample_dpmpp(
     full_names = _full_weight_names(stage_names, final_names)
 
     if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
-        R = rs[-1]
+        R = _mega_rows(rs[-1], BGp)
         coefs_lt = _lane_tile(coefs[:, 0, :], L)
         blocks = [
             (x_T, _row_spec(R, L)),
@@ -1213,7 +1229,7 @@ def fused_sample_churn(
     full_names = _full_weight_names(stage_names, final_names)
 
     if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
-        R = rs[-1]
+        R = _mega_rows(rs[-1], BGp)
         # bound the per-chunk [N, R, L] noise block to ~8 MB VMEM
         while (R > 8 and N * R * L * 4 > 8 * 1024 * 1024
                and BGp % (R // 2) == 0):

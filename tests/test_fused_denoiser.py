@@ -581,6 +581,24 @@ def test_mega_sampler_parity():
         np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
     )
 
+    # the single-chunk bump (_mega_rows: 128 <= BGp <= 1024 raises the
+    # row chunk to the whole padded batch), incl. a padded tail
+    zc_big = jax.random.normal(jax.random.PRNGKey(93), (130, 3, 64))
+    ie_big = compute_input_emb(w, zc_big)
+    a, _ = fused_sample(
+        w, FLAGSHIP_DIMS, schedule, ie_big, jax.random.PRNGKey(7),
+        batch_size=130, num_inference_steps=3, sampler="ddim",
+        block_rows=64, interpret=True, fuse_scan=False,
+    )
+    b, _ = fused_sample(
+        w, FLAGSHIP_DIMS, schedule, ie_big, jax.random.PRNGKey(7),
+        batch_size=130, num_inference_steps=3, sampler="ddim",
+        block_rows=64, interpret=True, fuse_scan=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
+    )
+
     ed = ElucidatedDiffusion(n_dims=4, num_sample_steps=4)
     a, _ = fused_sample_dpmpp(
         w, FLAGSHIP_DIMS, ed, ie, jax.random.PRNGKey(5), batch_size=BG,
