@@ -54,7 +54,17 @@ def main():
     variant = os.environ.get("GRASPLDM_BENCH_CONFIG", "fpc")
     if variant not in ("fpc", "ppc"):
         raise SystemExit(f"GRASPLDM_BENCH_CONFIG must be fpc|ppc, got {variant!r}")
-    cfg_kw = dict(denoiser_dtype=dtype)
+    # GRASPLDM_BENCH_SAMPLER selects the reverse-diffusion sampler:
+    # ddim (default, 100 steps) | ddpm | dpmpp | churn. dpmpp/churn build
+    # the elucidated (EDM) flagship; dpmpp defaults to the reference's
+    # 32-step DPM++(2M) protocol (`tools/inference.py:472-477`).
+    sampler = os.environ.get("GRASPLDM_BENCH_SAMPLER", "ddim")
+    if sampler not in ("ddim", "ddpm", "dpmpp", "churn"):
+        raise SystemExit(
+            f"GRASPLDM_BENCH_SAMPLER must be ddim|ddpm|dpmpp|churn, got {sampler!r}"
+        )
+    elucidated = sampler in ("dpmpp", "churn")
+    cfg_kw = dict(denoiser_dtype=dtype, elucidated=elucidated)
     if variant == "ppc":
         cfg_kw.update(
             pc_latent_size=256, grasp_latent_size=16, pc_latent_channels=3
@@ -68,7 +78,8 @@ def main():
     # of the @512 footprint/compile.
     B = int(os.environ.get("GRASPLDM_BENCH_B", 128))
     G = int(os.environ.get("GRASPLDM_BENCH_G", 1024))
-    STEPS = int(os.environ.get("GRASPLDM_BENCH_STEPS", 100))
+    default_steps = 32 if sampler == "dpmpp" else 100
+    STEPS = int(os.environ.get("GRASPLDM_BENCH_STEPS", default_steps))
     N = 1024
     rng = jax.random.PRNGKey(0)
     pc = jax.random.normal(rng, (B, N, 3))
@@ -84,7 +95,7 @@ def main():
     def generate(vv, dv, pc, key):
         return ldm_generate(
             vae, vv, ddm, dv, diffusion, pc, G, key,
-            num_inference_steps=STEPS, sampler="ddim",
+            num_inference_steps=STEPS, sampler=sampler,
         )
 
     # Warmup / compile
@@ -111,7 +122,7 @@ def main():
     def generate_one(vv, dv, pc, key):
         return ldm_generate(
             vae, vv, ddm, dv, diffusion, pc, G, key,
-            num_inference_steps=STEPS, sampler="ddim",
+            num_inference_steps=STEPS, sampler=sampler,
         )
 
     out1 = generate_one(vae_vars, ddm_vars, pc1, rng)
@@ -161,7 +172,7 @@ def main():
         mesh = make_mesh(devices=jax.devices())
         sharded = make_sharded_ldm_generate(
             mesh, vae, ddm, diffusion, num_grasps=G,
-            num_inference_steps=STEPS, sampler="ddim",
+            num_inference_steps=STEPS, sampler=sampler,
         )
         out_s = sharded(vae_vars, ddm_vars, pc, rng)
         _sync(out_s)
@@ -171,9 +182,12 @@ def main():
             _sync(out_s)
         sharded_gps = round(B * G * iters / (time.perf_counter() - t0), 1)
 
+    metric_name = f"grasps_per_sec_per_chip_{STEPS}_{sampler}_steps"
     details_path = (
         "BENCH_DETAILS.json" if variant == "fpc" else f"BENCH_{variant.upper()}.json"
     )
+    if sampler != "ddim":  # don't clobber the DDIM headline artifacts
+        details_path = details_path.replace(".json", f"_{sampler.upper()}.json")
     # the sharded-program measurement is opt-in (second full compile);
     # when skipped, carry the last measured value forward — labeled — so a
     # default re-run doesn't null out a real measurement
@@ -189,7 +203,7 @@ def main():
     with open(details_path, "w") as f:
         json.dump(
             {
-                "grasps_per_sec_per_chip_100_ddim_steps": round(grasps_per_sec, 1),
+                metric_name: round(grasps_per_sec, 1),
                 "sharded_program_grasps_per_sec_local_mesh": sharded_gps,
                 "sharded_program_carried_forward": sharded_carried,
                 "n_local_devices": jax.device_count(),
@@ -214,7 +228,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "grasps_per_sec_per_chip_100_ddim_steps",
+                "metric": metric_name,
                 "value": round(grasps_per_sec, 1),
                 "unit": "grasps/s",
                 "vs_baseline": round(grasps_per_sec / PER_CHIP_TARGET, 3),
