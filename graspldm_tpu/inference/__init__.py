@@ -1,5 +1,6 @@
 from .pipeline import decode_and_postprocess, ldm_generate, vae_generate
 from .sharded import make_sharded_ldm_generate, make_sharded_vae_generate
+from .classifier import InferenceClassifier
 from .runner import (
     AcronymGroundTruthModel,
     ExperimentPaths,
@@ -17,6 +18,7 @@ __all__ = [
     "AcronymGroundTruthModel",
     "ExperimentPaths",
     "InferenceBase",
+    "InferenceClassifier",
     "InferenceLDM",
     "InferenceVAE",
 ]

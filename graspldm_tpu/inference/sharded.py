@@ -2,11 +2,14 @@
 
 The generation workload is embarrassingly parallel over objects — the
 reference scales it only by growing the CUDA batch on one GPU
-(`grasp_ldm/models/grasp_ldm.py:189-233` repeat_interleave); here the object
-batch B shards over the mesh's ``data`` axis, each chip encodes its B/n point
-clouds and reverse-diffuses its ``(B/n) * G`` grasp latents locally, and NO
-collectives run anywhere in the hot path (the layout SURVEY.md §2.3 calls
-for: throughput from sharding ``B*G``, gradients/metrics are the only
+(`grasp_ldm/models/grasp_ldm.py:189-233` repeat_interleave); here EITHER
+generation axis shards over the mesh's ``data`` axis — the object batch B
+(``shard="objects"``, throughput: each chip encodes its B/n point clouds and
+reverse-diffuses its ``(B/n) * G`` grasp latents locally) or the grasp count
+G (``shard="grasps"``, latency: pc replicates and each chip samples its own
+G/n grasps, so ONE object's sampler work spreads over the whole mesh) — and
+NO collectives run anywhere in the hot path (the layout SURVEY.md §2.3 calls
+for: scaling from sharding ``B*G``, gradients/metrics are the only
 all-reduces in the framework and they belong to training).
 
 ``shard_map`` (not plain ``jit``-with-shardings) is load-bearing: the
@@ -55,20 +58,30 @@ def _check_build_meta(meta: Optional[NormalizationMeta]):
             )
 
 
-def _make_sharded_runner(mesh, axis, n_weight_args, per_chip, shape_fn):
+def _make_sharded_runner(
+    mesh, axis, n_weight_args, per_chip, shape_fn, grasp_axis=False
+):
     """Shared scaffolding for the sharded generation entry points.
 
     ``per_chip(*weights, pc, key, meta)`` is the per-shard body; ``shape_fn``
-    gives the result tree via eval_shape on the B/n shard. Programs are
-    compiled once per (pc shape, dtype, meta shapes); weights/key replicate,
-    pc — and per-object runtime meta — shard over ``axis``.
+    gives the result tree via eval_shape on the per-chip shard. Programs are
+    compiled once per (pc shape, dtype, meta shapes); weights/key replicate.
+
+    Two sharding modes:
+      * object mode (default): pc — and per-object runtime meta — shard
+        their leading B axis over ``axis``; results shard on axis 0.
+      * ``grasp_axis=True``: pc and meta REPLICATE (every chip sees every
+        object) and each chip generates its own G/n grasps (``per_chip``
+        closes over the per-chip grasp count and folds the chip index
+        into the key); results shard on axis 1 — the grasp axis of
+        ``grasps [B, G, 4, 4]`` / ``confidence [B, G]``.
     """
     n = mesh.shape[axis]
     compiled: Dict = {}
 
     def run(*args, meta: Optional[NormalizationMeta] = None):
         *weights, pc, key = args
-        if pc.shape[0] % n:
+        if not grasp_axis and pc.shape[0] % n:
             raise ValueError(
                 f"object batch {pc.shape[0]} not divisible by the "
                 f"{axis!r} axis size {n}"
@@ -82,6 +95,8 @@ def _make_sharded_runner(mesh, axis, n_weight_args, per_chip, shape_fn):
                 )
 
         def shard(s):
+            if grasp_axis:
+                return s  # every chip sees the full object batch
             return jax.ShapeDtypeStruct(
                 (s.shape[0] // n,) + s.shape[1:], s.dtype
             )
@@ -101,13 +116,19 @@ def _make_sharded_runner(mesh, axis, n_weight_args, per_chip, shape_fn):
                 jax.ShapeDtypeStruct(key.shape, key.dtype),
                 meta_abs,
             )
+            data_spec = P() if grasp_axis else P(axis)
+            out_specs = (
+                {k: P(None, axis) for k in out_tree}
+                if grasp_axis
+                else _out_specs_for(out_tree, axis)
+            )
             compiled[sig] = jax.jit(
                 jax.shard_map(
                     per_chip,
                     mesh=mesh,
                     in_specs=(P(),) * n_weight_args
-                    + (P(axis), P(), P(axis)),
-                    out_specs=_out_specs_for(out_tree, axis),
+                    + (data_spec, P(), data_spec),
+                    out_specs=out_specs,
                     # the per-chip body may launch Pallas kernels, whose
                     # out_shapes carry no varying-mesh-axes metadata —
                     # skip the vma check
@@ -115,7 +136,7 @@ def _make_sharded_runner(mesh, axis, n_weight_args, per_chip, shape_fn):
                 )
             )
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(axis))
+        data = repl if grasp_axis else NamedSharding(mesh, P(axis))
         return compiled[sig](
             *(jax.device_put(w, repl) for w in weights),
             jax.device_put(pc, data),
@@ -124,6 +145,16 @@ def _make_sharded_runner(mesh, axis, n_weight_args, per_chip, shape_fn):
         )
 
     return run
+
+
+def _check_grasp_shard(shard: str, num_grasps: int, mesh: Mesh, axis: str):
+    if shard not in ("objects", "grasps"):
+        raise ValueError(f"shard must be 'objects'|'grasps', got {shard!r}")
+    if shard == "grasps" and num_grasps % mesh.shape[axis]:
+        raise ValueError(
+            f"num_grasps {num_grasps} not divisible by the {axis!r} axis "
+            f"size {mesh.shape[axis]}"
+        )
 
 
 def make_sharded_ldm_generate(
@@ -138,6 +169,7 @@ def make_sharded_ldm_generate(
     denoiser_impl: str = "auto",
     axis: str = "data",
     guidance_scale: Optional[float] = None,
+    shard: str = "objects",
 ):
     """Build a jitted ``(vae_vars, ddm_vars, pc, key) -> results`` program
     with ``pc [B, N, 3]`` sharded over ``axis`` (B divisible by its size).
@@ -145,6 +177,21 @@ def make_sharded_ldm_generate(
     Every result leaf comes back sharded on its leading (object) axis;
     weights are replicated. The per-chip body is exactly
     :func:`ldm_generate`, so the Pallas fast path runs when it qualifies.
+
+    ``shard`` picks WHICH generation axis rides the mesh (SURVEY.md §2.3:
+    scale by sharding ``B*G``):
+
+      * ``"objects"`` (default, throughput): pc's leading B axis shards;
+        each chip runs its B/n objects end-to-end. Results shard on
+        axis 0.
+      * ``"grasps"`` (latency): pc REPLICATES and the G grasps shard —
+        each chip encodes every object once and reverse-diffuses its own
+        G/n latents (``fold_in(key, chip)``), so a SINGLE object's
+        sampler work spreads over the whole mesh with zero collectives.
+        Results shard on axis 1; ``num_grasps`` must divide by the axis
+        size. The global sample set equals concatenating per-chip
+        :func:`ldm_generate` calls with ``num_grasps/n`` on the grasp
+        axis (tested on the virtual 8-CPU mesh).
 
     ``meta`` here must be UNBATCHED (it replicates into every chip's
     program); per-object meta is a call-time kwarg of the returned runner —
@@ -157,11 +204,15 @@ def make_sharded_ldm_generate(
     ``pc`` and is not plumbed here — use :func:`ldm_generate` per shard.
     """
     _check_build_meta(meta)
+    _check_grasp_shard(shard, num_grasps, mesh, axis)
+    g_chip = (
+        num_grasps // mesh.shape[axis] if shard == "grasps" else num_grasps
+    )
 
     def per_chip(vae_vars, ddm_vars, pc, key, rt_meta):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return ldm_generate(
-            vae, vae_vars, ddm, ddm_vars, diffusion, pc, num_grasps, key,
+            vae, vae_vars, ddm, ddm_vars, diffusion, pc, g_chip, key,
             num_inference_steps=num_inference_steps, sampler=sampler,
             meta=rt_meta if rt_meta is not None else meta,
             denoiser_impl=denoiser_impl,
@@ -172,13 +223,15 @@ def make_sharded_ldm_generate(
     # abstract evaluation so optional keys (qualities) are covered.
     def shape_fn(vv, dv, p, k, m):
         return ldm_generate(
-            vae, vv, ddm, dv, diffusion, p, num_grasps, k,
+            vae, vv, ddm, dv, diffusion, p, g_chip, k,
             num_inference_steps=num_inference_steps, sampler=sampler,
             meta=m if m is not None else meta, denoiser_impl="flax",
             guidance_scale=guidance_scale,
         )
 
-    return _make_sharded_runner(mesh, axis, 2, per_chip, shape_fn)
+    return _make_sharded_runner(
+        mesh, axis, 2, per_chip, shape_fn, grasp_axis=shard == "grasps"
+    )
 
 
 def make_sharded_vae_generate(
@@ -187,24 +240,33 @@ def make_sharded_vae_generate(
     num_grasps: int,
     meta: Optional[NormalizationMeta] = None,
     axis: str = "data",
+    shard: str = "objects",
 ):
     """Sharded VAE-mode generation (latents straight from the prior).
 
     Build-time ``meta`` must be unbatched; per-object meta goes to the
     runner at call time (``run(vae_vars, pc, key, meta=meta)``).
+    ``shard="grasps"`` replicates pc and shards the G grasps instead
+    (see :func:`make_sharded_ldm_generate`).
     """
     _check_build_meta(meta)
+    _check_grasp_shard(shard, num_grasps, mesh, axis)
+    g_chip = (
+        num_grasps // mesh.shape[axis] if shard == "grasps" else num_grasps
+    )
 
     def per_chip(vae_vars, pc, key, rt_meta):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return vae_generate(
-            vae, vae_vars, pc, num_grasps, key,
+            vae, vae_vars, pc, g_chip, key,
             meta=rt_meta if rt_meta is not None else meta,
         )
 
     def shape_fn(vv, p, k, m):
         return vae_generate(
-            vae, vv, p, num_grasps, k, meta=m if m is not None else meta
+            vae, vv, p, g_chip, k, meta=m if m is not None else meta
         )
 
-    return _make_sharded_runner(mesh, axis, 1, per_chip, shape_fn)
+    return _make_sharded_runner(
+        mesh, axis, 1, per_chip, shape_fn, grasp_axis=shard == "grasps"
+    )

@@ -106,6 +106,8 @@ def evaluate_against_ground_truth(
     rot_weight: float = 0.0,
     min_confidence: Optional[float] = None,
     infer_kwargs: Optional[Dict] = None,
+    scorer=None,
+    min_classifier_confidence: Optional[float] = None,
 ) -> Dict[str, float]:
     """Per-object generation quality against the dataset's GT grasps.
 
@@ -113,11 +115,17 @@ def evaluate_against_ground_truth(
     ``.infer``); GT grasps come from the same dataset item metas. Returns
     metrics averaged over ``indices``. ``infer_kwargs`` are forwarded to
     ``runner.infer`` (e.g. ``guidance_scale`` / ``cfg_scale`` to measure
-    guided sampling).
+    guided sampling). ``scorer`` (an
+    :class:`~graspldm_tpu.inference.InferenceClassifier`) re-scores every
+    generated grasp with the independent success classifier: the mean
+    score is reported as ``classifier_confidence`` and
+    ``min_classifier_confidence`` filters grasps by it (like
+    ``min_confidence`` does for the decoder head's own score).
     """
     import jax
 
     per_obj = []
+    clf_means = []
     for j, idx in enumerate(indices):
         item = runner.dataset[int(idx)]
         m = item["metas"]
@@ -137,6 +145,19 @@ def evaluate_against_ground_truth(
             conf = np.asarray(res["confidence"][0])
             if (conf >= min_confidence).sum() >= 2:
                 gen = gen[conf >= min_confidence]
+        if scorer is not None:
+            probs = np.asarray(
+                scorer.score_grasps(
+                    res["pc"], grasps=None, tmrp=res["grasp_tmrp"]
+                )
+            )[0]
+            clf_means.append(float(probs.mean()))
+            if min_classifier_confidence is not None:
+                sel = probs >= min_classifier_confidence
+                # filtering happens on the UNFILTERED grasp set; combine
+                # with the decoder-head filter only when both keep >= 2
+                if min_confidence is None and sel.sum() >= 2:
+                    gen = np.asarray(res["grasp_tmrp"][0])[sel]
         per_obj.append(
             grasp_set_metrics(
                 gen, gt[keep], coverage_tau=coverage_tau,
@@ -145,6 +166,9 @@ def evaluate_against_ground_truth(
         )
     if not per_obj:
         raise ValueError("no objects with enough GT grasps")
-    return {
+    out = {
         k: float(np.mean([o[k] for o in per_obj])) for k in per_obj[0]
     } | {"num_objects": float(len(per_obj))}
+    if clf_means:
+        out["classifier_confidence"] = float(np.mean(clf_means))
+    return out

@@ -172,3 +172,89 @@ def test_trajectory_decode(models):
     np.testing.assert_allclose(
         traj[-1], np.asarray(out["grasps"]), atol=1e-5
     )
+
+
+def test_grasp_sharded_ldm_single_object(mesh, models):
+    """shard="grasps": pc replicates, each chip samples G/n grasps —
+    a SINGLE object's sampler work spreads over the mesh (the latency
+    scale-out; `shard="objects"` covers throughput). Contract: the
+    global grasp set is the concat of per-chip `ldm_generate` runs with
+    `fold_in(key, chip)` on the grasp axis."""
+    vae, ddm, diffusion, vae_vars, ddm_vars, pc, _ = models
+    key = jax.random.PRNGKey(21)
+    n = mesh.shape["data"]
+    G = 2 * n
+    pc1 = pc[:1]  # ONE object
+
+    run = make_sharded_ldm_generate(
+        mesh, vae, ddm, diffusion, num_grasps=G, num_inference_steps=3,
+        sampler="ddim", denoiser_impl="flax", shard="grasps",
+    )
+    out = run(vae_vars, ddm_vars, pc1, key)
+    assert out["grasps"].shape == (1, G, 4, 4)
+    assert out["confidence"].shape == (1, G)
+    assert out["grasps"].sharding.spec == jax.sharding.PartitionSpec(
+        None, "data"
+    )
+
+    gn = G // n
+    for i in (0, 3, 7):
+        want = ldm_generate(
+            vae, vae_vars, ddm, ddm_vars, diffusion, pc1, gn,
+            jax.random.fold_in(key, i),
+            num_inference_steps=3, sampler="ddim", denoiser_impl="flax",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["grasps"][:, i * gn : (i + 1) * gn]),
+            np.asarray(want["grasps"]),
+            atol=2e-5, rtol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["confidence"][:, i * gn : (i + 1) * gn]),
+            np.asarray(want["confidence"]),
+            atol=2e-5, rtol=2e-5,
+        )
+
+
+def test_grasp_sharded_vae_and_meta(mesh, models):
+    """VAE mode with shard="grasps" + replicated per-object runtime meta:
+    every chip unnormalizes all B objects with the same stats."""
+    from graspldm_tpu.utils.normalization import normalize_pc_and_grasps
+
+    vae, _, _, vae_vars, _, pc, _ = models
+    key = jax.random.PRNGKey(13)
+    n = mesh.shape["data"]
+    G = 2 * n
+    B = 2
+    raw = pc[:B] + jnp.arange(B, dtype=pc.dtype)[:, None, None]
+    pc_n, _, meta = normalize_pc_and_grasps(
+        raw, jnp.zeros((B, 1, 6), pc.dtype)
+    )
+
+    run = make_sharded_vae_generate(
+        mesh, vae, num_grasps=G, shard="grasps"
+    )
+    out = run(vae_vars, pc_n, key, meta=meta)
+    assert out["grasps"].shape == (B, G, 4, 4)
+
+    gn = G // n
+    i = 2
+    want = vae_generate(
+        vae, vae_vars, pc_n, gn, jax.random.fold_in(key, i), meta=meta
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["grasp_tmrp"][:, i * gn : (i + 1) * gn]),
+        np.asarray(want["grasp_tmrp"]),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_grasp_shard_validation(mesh, models):
+    vae, ddm, diffusion, *_ = models
+    n = mesh.shape["data"]
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_ldm_generate(
+            mesh, vae, ddm, diffusion, num_grasps=n + 1, shard="grasps"
+        )
+    with pytest.raises(ValueError, match="objects.*grasps"):
+        make_sharded_vae_generate(mesh, vae, num_grasps=n, shard="spam")

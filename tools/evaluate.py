@@ -44,6 +44,13 @@ def parse_args():
     p.add_argument("--cfg_scale", type=float, default=None,
                    help="LDM mode: classifier-free guidance weight "
                    "(conditioned checkpoints)")
+    p.add_argument("--classifier_exp", default=None,
+                   help="experiment dir with a trained classifier/ stage: "
+                   "report the independent classifier's mean score on the "
+                   "generated grasps")
+    p.add_argument("--min_classifier_confidence", type=float, default=None,
+                   help="drop generated grasps the classifier scores below "
+                   "this (requires --classifier_exp)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="write metrics JSON here")
     return p.parse_args()
@@ -86,6 +93,12 @@ def main():
         if args.cfg_scale is not None:
             infer_kwargs["cfg_scale"] = args.cfg_scale
 
+    scorer = None
+    if args.classifier_exp:
+        from graspldm_tpu.inference import InferenceClassifier
+
+        scorer = InferenceClassifier(args.classifier_exp)
+
     metrics = evaluate_against_ground_truth(
         runner,
         indices=indices,
@@ -95,6 +108,8 @@ def main():
         rot_weight=args.rot_weight,
         min_confidence=args.min_confidence,
         infer_kwargs=infer_kwargs or None,
+        scorer=scorer,
+        min_classifier_confidence=args.min_classifier_confidence,
     )
     metrics.update(mode=args.mode, split=args.split,
                    num_grasps=args.num_grasps)

@@ -64,6 +64,12 @@ def parse_args():
         help="LDM mode: success-guidance strength — steer sampling uphill "
         "on the decoder's log p(success) in latent space",
     )
+    p.add_argument(
+        "--classifier_exp", default=None,
+        help="experiment dir with a trained classifier/ stage: re-score "
+        "every generated grasp with the independent success classifier "
+        "(adds classifier_confidence to results and sorts grasps by it)",
+    )
     return p.parse_args()
 
 
@@ -100,6 +106,12 @@ def main():
         if args.guidance_scale is not None:
             infer_kwargs["guidance_scale"] = args.guidance_scale
 
+    scorer = None
+    if args.classifier_exp:
+        from graspldm_tpu.inference import InferenceClassifier
+
+        scorer = InferenceClassifier(args.classifier_exp)
+
     rng = np.random.default_rng(args.seed)
     results = []
     for i in range(args.num_samples):
@@ -108,10 +120,28 @@ def main():
                            rng=jax.random.PRNGKey(args.seed + i),
                            **infer_kwargs)
         n_conf = float(np.mean(np.asarray(res["confidence"])))
-        print(
+        line = (
             f"sample {i} (dataset idx {idx}): {res['grasps'].shape[1]} grasps, "
             f"mean confidence {n_conf:.3f}"
         )
+        if scorer is not None:
+            probs = scorer.score_result(res)  # [B, G]
+            # rank every per-grasp leaf by the independent classifier
+            order = np.argsort(-probs, axis=1)
+            g_axis = {"grasps", "grasp_tmrp", "confidence", "qualities",
+                      "classifier_confidence"}
+            for k in g_axis & set(res):
+                if res[k] is not None:
+                    res[k] = np.take_along_axis(
+                        np.asarray(res[k]),
+                        order.reshape(order.shape + (1,) * (np.ndim(res[k]) - 2)),
+                        axis=1,
+                    )
+            line += (
+                f", classifier mean {float(probs.mean()):.3f} "
+                f"top {float(probs.max()):.3f}"
+            )
+        print(line)
         results.append(res)
 
     if args.save_npz:
