@@ -31,6 +31,7 @@ from ..training import build_optimizer
 from ..training.experiment import restore_checkpoint
 from ..training.state import TrainState
 from ..utils.normalization import TRANSLATION_SCALE_FACTOR
+from ..utils.pointcloud_helpers import regularize_pc_point_count
 from ..utils.rotations import H_to_tmrp, tmrp_to_H
 from .runner import ExperimentPaths
 
@@ -132,15 +133,23 @@ class InferenceClassifier:
         Returns:
             ``[B, G]`` sigmoid success probabilities.
         """
-        pc = jnp.asarray(pc, jnp.float32)
+        pc = np.asarray(pc, np.float32)
         if pc.ndim == 2:
             pc = pc[None]
         if pc.shape[1] != self.model.num_pc_points:
-            raise ValueError(
-                f"classifier was trained on {self.model.num_pc_points}-point "
-                f"clouds (point_pool head is shape-bound); got {pc.shape[1]} "
-                "points — resample the cloud to the training size"
+            # The point_pool head is shape-bound to the training point
+            # count; resample each cloud the way the reference pipeline
+            # does (`pointcloud_helpers.py:124-160`) rather than raising.
+            rng = np.random.default_rng(0)
+            pc = np.stack(
+                [
+                    regularize_pc_point_count(
+                        cloud, self.model.num_pc_points, rng=rng
+                    )
+                    for cloud in pc
+                ]
             )
+        pc = jnp.asarray(pc)
         if tmrp is None:
             H = jnp.asarray(grasps, jnp.float32)
             B, G = H.shape[:2]

@@ -141,10 +141,11 @@ def evaluate_against_ground_truth(
             **(infer_kwargs or {}),
         )
         gen = np.asarray(res["grasp_tmrp"][0])
+        dec_sel = None
         if min_confidence is not None:
             conf = np.asarray(res["confidence"][0])
-            if (conf >= min_confidence).sum() >= 2:
-                gen = gen[conf >= min_confidence]
+            dec_sel = conf >= min_confidence
+        clf_sel = None
         if scorer is not None:
             probs = np.asarray(
                 scorer.score_grasps(
@@ -153,11 +154,22 @@ def evaluate_against_ground_truth(
             )[0]
             clf_means.append(float(probs.mean()))
             if min_classifier_confidence is not None:
-                sel = probs >= min_classifier_confidence
-                # filtering happens on the UNFILTERED grasp set; combine
-                # with the decoder-head filter only when both keep >= 2
-                if min_confidence is None and sel.sum() >= 2:
-                    gen = np.asarray(res["grasp_tmrp"][0])[sel]
+                clf_sel = probs >= min_classifier_confidence
+        # Both filters act on the UNFILTERED grasp set and are intersected
+        # when both are given. A filter (or the intersection) only applies
+        # when it leaves >= 2 grasps, relaxing combined -> decoder-only ->
+        # classifier-only -> unfiltered.
+        candidates = []
+        if dec_sel is not None and clf_sel is not None:
+            candidates.append(dec_sel & clf_sel)
+        if dec_sel is not None:
+            candidates.append(dec_sel)
+        if clf_sel is not None:
+            candidates.append(clf_sel)
+        for sel in candidates:
+            if sel.sum() >= 2:
+                gen = gen[sel]
+                break
         per_obj.append(
             grasp_set_metrics(
                 gen, gt[keep], coverage_tau=coverage_tau,

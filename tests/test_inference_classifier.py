@@ -116,8 +116,25 @@ def test_score_result_adds_key(scorer):
     assert probs.shape == (2, 3)
 
 
-def test_wrong_point_count_rejected(scorer):
-    pc = jnp.zeros((1, NP_POINTS + 1, 3))
-    tmrp = jnp.zeros((1, 2, 6))
-    with pytest.raises(ValueError, match="trained on"):
-        scorer.score_grasps(pc, grasps=None, tmrp=tmrp)
+def test_mismatched_point_count_resampled(scorer):
+    """Clouds with the wrong N are regularized to the training size (the
+    reference applies `regularize_pc_point_count` as a matter of course)
+    instead of raising."""
+    pc, tmrp = _random_inputs(jax.random.PRNGKey(5))
+
+    # oversized: duplicate the cloud -> subsampling only ever picks
+    # original points, so scores stay in-distribution and deterministic
+    big = jnp.concatenate([pc, pc], axis=1)  # [B, 2N, 3]
+    probs_big = np.asarray(scorer.score_grasps(big, grasps=None, tmrp=tmrp))
+    assert probs_big.shape == tuple(tmrp.shape[:2])
+    assert np.all((probs_big >= 0) & (probs_big <= 1))
+    again = np.asarray(scorer.score_grasps(big, grasps=None, tmrp=tmrp))
+    np.testing.assert_array_equal(probs_big, again)
+
+    # undersized: padded by resampling existing points
+    small = pc[:, : NP_POINTS // 2]
+    probs_small = np.asarray(
+        scorer.score_grasps(small, grasps=None, tmrp=tmrp)
+    )
+    assert probs_small.shape == tuple(tmrp.shape[:2])
+    assert np.all(np.isfinite(probs_small))

@@ -65,6 +65,99 @@ class TestSetMetrics:
         assert m["coverage"] < 0.2
 
 
+class TestConfidenceFilterCombination:
+    """Decoder-head and classifier confidence filters must intersect when
+    both are given (tools/evaluate.py accepts both flags)."""
+
+    G = 12  # generated grasps: dec passes 0..7, clf passes 4..11
+
+    def _runner_scorer(self, clf_hi):
+        import jax  # noqa: F401  (metrics imports jax for fold_in)
+
+        rng = np.random.default_rng(3)
+        gt = _random_tmrp(rng, 8)
+        item = {
+            "grasps": np.concatenate(
+                [gt, np.ones((8, 1), np.float32)], -1
+            ),
+            "metas": {
+                "grasp_std": np.ones(6, np.float32),
+                "grasp_mean": np.zeros(6, np.float32),
+            },
+        }
+        # gen grasps: only those passing BOTH filters coincide with GT;
+        # everything else is 10 m away, so mmd_gen_to_gt ~ 0 iff the
+        # intersection (and nothing looser) was used.
+        both = sorted(set(range(0, 8)) & set(clf_hi))
+        gen = _random_tmrp(rng, self.G)
+        gen[:, 0] += 10.0
+        for k, g_idx in enumerate(both):
+            gen[g_idx] = gt[k % len(gt)]
+        conf = np.where(np.arange(self.G) < 8, 0.9, 0.1).astype(np.float32)
+        probs = np.full(self.G, 0.1, np.float32)
+        probs[list(clf_hi)] = 0.9
+
+        class _Runner:
+            dataset = {0: item}
+
+            def infer(self, idx, num_grasps, rng, **kw):
+                return {
+                    "grasp_tmrp": gen[None],
+                    "confidence": conf[None],
+                    "pc": np.zeros((1, 16, 3), np.float32),
+                }
+
+        class _Scorer:
+            def score_grasps(self, pc, grasps=None, tmrp=None):
+                return probs[None]
+
+        return _Runner(), _Scorer()
+
+    def _run(self, clf_hi, **kw):
+        import jax
+
+        from graspldm_tpu.metrics import evaluate_against_ground_truth
+
+        runner, scorer = self._runner_scorer(clf_hi)
+        return evaluate_against_ground_truth(
+            runner, indices=[0], num_grasps=self.G,
+            rng=jax.random.PRNGKey(0), scorer=scorer, **kw,
+        )
+
+    def test_both_filters_intersect(self):
+        m = self._run(
+            clf_hi=range(4, 12),
+            min_confidence=0.5, min_classifier_confidence=0.5,
+        )
+        # intersection = {4..7}, all equal to GT grasps -> near-zero mmd
+        assert m["mmd_gen_to_gt"] < 1e-6
+        assert m["classifier_confidence"] == pytest.approx(
+            (8 * 0.9 + 4 * 0.1) / 12, abs=1e-6
+        )
+
+    def test_decoder_only_filter_keeps_far_grasps(self):
+        # sanity: without the classifier filter the far grasps (0..3)
+        # survive the decoder filter and blow up mmd_gen_to_gt
+        m = self._run(clf_hi=range(4, 12), min_confidence=0.5)
+        assert m["mmd_gen_to_gt"] > 1.0
+
+    def test_intersection_fallback_to_decoder_only(self):
+        # clf passes only grasp 7 -> intersection has 1 grasp (<2), so the
+        # filter relaxes to decoder-only {0..7}; grasp 7 == gt so mmd is
+        # bounded by the far grasps that remain
+        m = self._run(
+            clf_hi=[7],
+            min_confidence=0.5, min_classifier_confidence=0.5,
+        )
+        assert m["mmd_gen_to_gt"] > 1.0  # decoder-only set incl. far ones
+        assert m["num_objects"] == 1.0
+
+    def test_classifier_only_filter(self):
+        m = self._run(clf_hi=range(4, 12), min_classifier_confidence=0.5)
+        # clf-only set {4..11}: 4..7 are GT, 8..11 far
+        assert 1.0 < m["mmd_gen_to_gt"] < 10.0
+
+
 @pytest.mark.slow
 def test_ground_truth_model_scores_perfectly(tmp_path):
     """The AcronymGroundTruthModel evaluated against its own dataset must be
