@@ -85,6 +85,39 @@ def _substitute_predefined_vars(text: str, path: str) -> str:
     return text
 
 
+# `{{ _base_.a.b }}` placeholders are swapped for sentinel STRINGS before the
+# config executes (so the file still parses), then resolved against the merged
+# base configs afterwards — the reference's base-variable mechanism
+# (`grasp_ldm/utils/config.py:129-176`).
+_BASE_VAR_RE = re.compile(r"\{\{\s*_base_\.([\w.]+)\s*\}\}")
+_BASE_VAR_SENTINEL = "\x00_base_\x00"
+
+
+def _quote_base_var_placeholders(text: str) -> str:
+    return _BASE_VAR_RE.sub(
+        lambda m: repr(_BASE_VAR_SENTINEL + m.group(1)), text
+    )
+
+
+def _resolve_base_vars(node: Any, base_cfg: Dict[str, Any]) -> Any:
+    if isinstance(node, str) and node.startswith(_BASE_VAR_SENTINEL):
+        dotted = node[len(_BASE_VAR_SENTINEL):]
+        value: Any = base_cfg
+        for part in dotted.split("."):
+            if not isinstance(value, dict) or part not in value:
+                raise KeyError(
+                    f"{{{{ _base_.{dotted} }}}} does not resolve in the "
+                    "merged base configs"
+                )
+            value = value[part]
+        return value
+    if isinstance(node, dict):
+        return {k: _resolve_base_vars(v, base_cfg) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return type(node)(_resolve_base_vars(v, base_cfg) for v in node)
+    return node
+
+
 class Config:
     """Loader for python-file configs."""
 
@@ -93,6 +126,7 @@ class Config:
         path = os.path.abspath(path)
         with open(path, encoding="utf-8") as f:
             text = _substitute_predefined_vars(f.read(), path)
+        text = _quote_base_var_placeholders(text)
         ns: Dict[str, Any] = {"__file__": path}
         exec(compile(text, path, "exec"), ns)
         return {
@@ -111,6 +145,7 @@ class Config:
         for base_rel in bases:
             base_path = os.path.join(os.path.dirname(os.path.abspath(path)), base_rel)
             merged = _deep_merge(merged, cls.fromfile(base_path))
+        cfg_dict = _resolve_base_vars(cfg_dict, merged)
         merged = _deep_merge(merged, cfg_dict)
         out = ConfigDict(merged)
         out["filename"] = os.path.abspath(path)

@@ -120,4 +120,15 @@ trainer = dict(
     batch_size=batch_size,
     log_every_n_steps=100,
     ema=dict(beta=0.990, update_after_step=1000),
+    # metric logger (W&B preferred, reference `configs/...fpc:259`; falls
+    # back to logs/metrics.jsonl when wandb is unavailable)
+    logger=dict(type="WandbLogger", project="graspldm-tpu"),
+    # periodic in-training generation eval on held-out test objects; the
+    # `best` checkpoint follows this score instead of train loss (a
+    # 180k-step run should not train blind — VERDICT r2/r4)
+    eval_every=5000,
+    eval=dict(split="test", num_objects=8, num_grasps=64, num_steps=25),
+    # keep the top-3 checkpoints by windowed loss next to last/best
+    # (reference `grasp_generation_trainer.py:146-173`)
+    keep_top_k=3,
 )

@@ -69,4 +69,12 @@ trainer = dict(
     batch_size=batch_size,
     log_every_n_steps=100,
     ema=dict(beta=0.990, update_after_step=1000),
+    # metric logger (W&B preferred; JSONL fallback when unavailable)
+    logger=dict(type="WandbLogger", project="graspldm-tpu"),
+    # periodic in-training generation eval on held-out test scenes; the
+    # `best` checkpoint follows this score instead of train loss
+    eval_every=5000,
+    eval=dict(split="test", num_objects=8, num_grasps=64, num_steps=25),
+    # keep the top-3 checkpoints by windowed loss next to last/best
+    keep_top_k=3,
 )

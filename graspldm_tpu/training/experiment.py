@@ -23,7 +23,12 @@ import orbax.checkpoint as ocp
 
 from .state import TrainState
 
-__all__ = ["Experiment", "save_checkpoint", "restore_checkpoint"]
+__all__ = [
+    "Experiment",
+    "TopKCheckpoints",
+    "save_checkpoint",
+    "restore_checkpoint",
+]
 
 
 class Experiment:
@@ -61,6 +66,80 @@ class Experiment:
             rec[k] = float(v) if np.isscalar(v) or hasattr(v, "item") else v
         with open(os.path.join(self.log_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+
+class TopKCheckpoints:
+    """Retain the k best checkpoints by a score next to ``last``/``best``.
+
+    The reference keeps the top-3 checkpoints by loss via a PL
+    ModelCheckpoint (`grasp_ldm/trainers/grasp_generation_trainer.py:146-173`)
+    so a late-training regression still leaves fallback candidates. Saved
+    checkpoints are named ``topk_step{N}``; a ``topk.json`` index next to
+    them records scores and survives restarts (stale entries whose
+    checkpoint dir disappeared are dropped on load).
+
+    Multi-host: the underlying :func:`save_checkpoint` is a collective, so
+    every process must call :meth:`update`; the decision is deterministic
+    given replicated scores, and index/prune filesystem mutations run on
+    the primary process only.
+    """
+
+    def __init__(self, experiment: Experiment, k: int = 3,
+                 higher_better: bool = False):
+        self.experiment = experiment
+        self.k = int(k)
+        self.higher_better = higher_better
+        self.index_path = os.path.join(experiment.ckpt_dir, "topk.json")
+        self.entries: list = []  # sorted best-first
+        if os.path.exists(self.index_path):
+            try:
+                with open(self.index_path) as f:
+                    loaded = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                loaded = []
+            self.entries = [
+                e for e in loaded
+                if os.path.exists(experiment.checkpoint_path(e["name"]))
+            ]
+            self._sort()
+
+    def _sort(self) -> None:
+        self.entries.sort(
+            key=lambda e: e["score"], reverse=self.higher_better
+        )
+
+    def _better(self, a: float, b: float) -> bool:
+        return a > b if self.higher_better else a < b
+
+    def update(self, step: int, score: float, state: TrainState) -> bool:
+        """Consider ``(step, score)``; save and prune when it ranks top-k.
+
+        Returns True when a checkpoint was written.
+        """
+        if self.k <= 0:
+            return False
+        score = float(score)
+        if len(self.entries) >= self.k and not self._better(
+            score, self.entries[-1]["score"]
+        ):
+            return False
+        name = f"topk_step{int(step):08d}"
+        save_checkpoint(self.experiment.checkpoint_path(name), state)
+        self.entries = [e for e in self.entries if e["name"] != name]
+        self.entries.append(
+            {"step": int(step), "score": score, "name": name}
+        )
+        self._sort()
+        primary = jax.process_index() == 0
+        while len(self.entries) > self.k:
+            drop = self.entries.pop()
+            path = self.experiment.checkpoint_path(drop["name"])
+            if primary and os.path.exists(path):
+                shutil.rmtree(path)
+        if primary:
+            with open(self.index_path, "w") as f:
+                json.dump(self.entries, f, indent=1)
+        return True
 
 
 def save_checkpoint(path: str, state: TrainState) -> None:

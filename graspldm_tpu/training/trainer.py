@@ -74,6 +74,7 @@ class GraspGenerationTrainer:
         eval_every: int = 0,
         steps_per_dispatch: int = 1,
         dispatch_unroll: int = 1,
+        keep_top_k: int = 0,
     ):
         """``steps_per_dispatch`` > 1 runs K train steps per device
         dispatch (``lax.scan`` over a stacked ``[K, ...]`` batch, see
@@ -97,6 +98,7 @@ class GraspGenerationTrainer:
         self.log_every = log_every
         self.ckpt_every = ckpt_every
         self.eval_every = eval_every
+        self.keep_top_k = keep_top_k
         self.steps_per_dispatch = steps_per_dispatch
         self.dispatch_unroll = dispatch_unroll
         self.use_vae_ema_for_ddm = use_vae_ema_for_ddm
@@ -265,6 +267,11 @@ class GraspGenerationTrainer:
         t_last = time.perf_counter()
         best_loss = float("inf")
         best_score = -float("inf")
+        topk = None
+        if self.keep_top_k > 0:
+            from .experiment import TopKCheckpoints
+
+            topk = TopKCheckpoints(self.experiment, k=self.keep_top_k)
         window_losses: list = []  # logged losses since the last checkpoint
         # the step counter lives on the HOST: reading int(state.step) every
         # iteration would block on the device result and serialize host
@@ -347,24 +354,27 @@ class GraspGenerationTrainer:
                 or step >= max_steps
             ):
                 save_checkpoint(self.experiment.checkpoint_path("last"), state)
-                # best-by-loss fallback (reference keeps top-k by `loss`,
-                # `grasp_generation_trainer.py:146-173`) on the WINDOW
-                # average since the previous checkpoint — one lucky batch
-                # can't pin `best` forever
+                # window-averaged loss since the previous checkpoint — one
+                # lucky batch can't pin `best` (or a top-k slot) forever
+                if not window_losses:
+                    # no log crossing since the previous checkpoint
+                    # (ckpt cadence finer than log cadence): score this
+                    # boundary on the current step's loss rather than
+                    # skipping the update entirely
+                    m = _fetch_metrics(metrics)
+                    if "loss" in m:
+                        window_losses.append(m["loss"])
+                loss = (
+                    float(np.mean(window_losses))
+                    if window_losses
+                    else float("inf")
+                )
+                # top-3-by-loss retention next to last/best (reference PL
+                # ModelCheckpoint, `grasp_generation_trainer.py:146-173`)
+                if topk is not None and np.isfinite(loss):
+                    topk.update(step, loss, state)
+                # best-by-loss fallback when no eval hook drives `best`
                 if eval_fn is None or not self.eval_every:
-                    if not window_losses:
-                        # no log crossing since the previous checkpoint
-                        # (ckpt cadence finer than log cadence): score this
-                        # boundary on the current step's loss rather than
-                        # skipping the `best` update entirely
-                        m = _fetch_metrics(metrics)
-                        if "loss" in m:
-                            window_losses.append(m["loss"])
-                    loss = (
-                        float(np.mean(window_losses))
-                        if window_losses
-                        else float("inf")
-                    )
                     if loss < best_loss:
                         best_loss = loss
                         save_checkpoint(

@@ -116,6 +116,47 @@ class TestTemplateVarsAndOverrides:
         assert cfg.data_dir == str(tmp_path)
         assert cfg.x == 1
 
+    def test_base_var_substitution(self, tmp_path):
+        """`{{ _base_.x }}` placeholders resolve against the merged base
+        configs (reference `utils/config.py:129-176`), including nested
+        dotted paths, non-string values, and placement inside containers."""
+        (tmp_path / "base.py").write_text(
+            "batch_size = 10\n"
+            "data = dict(num_points=1024, root='/data')\n"
+        )
+        (tmp_path / "child.py").write_text(
+            "_base_ = ['base.py']\n"
+            "eval_batch = {{ _base_.batch_size }}\n"
+            "model = dict(n_pts={{ _base_.data.num_points }},\n"
+            "             roots=[{{ _base_.data.root }}])\n"
+        )
+        cfg = Config.fromfile(str(tmp_path / "child.py"))
+        assert cfg.eval_batch == 10
+        assert cfg.model.n_pts == 1024
+        assert cfg.model.roots == ["/data"]
+        # the substituted value keeps the base's type, not a string
+        assert isinstance(cfg.eval_batch, int)
+
+    def test_base_var_chained_inheritance(self, tmp_path):
+        """A base file may itself use `{{ _base_.x }}` of its own base."""
+        (tmp_path / "root.py").write_text("n = 4\n")
+        (tmp_path / "mid.py").write_text(
+            "_base_ = 'root.py'\nm = dict(k={{ _base_.n }})\n"
+        )
+        (tmp_path / "leaf.py").write_text(
+            "_base_ = 'mid.py'\nout = {{ _base_.m.k }}\n"
+        )
+        cfg = Config.fromfile(str(tmp_path / "leaf.py"))
+        assert cfg.out == 4 and cfg.m["k"] == 4
+
+    def test_base_var_unresolvable_raises(self, tmp_path):
+        (tmp_path / "base.py").write_text("x = 1\n")
+        (tmp_path / "child.py").write_text(
+            "_base_ = 'base.py'\ny = {{ _base_.missing }}\n"
+        )
+        with pytest.raises(KeyError, match="_base_.missing"):
+            Config.fromfile(str(tmp_path / "child.py"))
+
     def test_merge_from_dict_dotted(self):
         from graspldm_tpu.config import merge_from_dict
 

@@ -161,6 +161,72 @@ class TestCheckpointRoundtrip:
         assert int(restored.step) == int(state2.step)
 
 
+class TestTopKCheckpoints:
+    """Top-3-by-loss retention next to last/best (reference
+    `grasp_generation_trainer.py:146-173`)."""
+
+    def _state(self, tiny_setup, step):
+        cfg, vae, ddm, diffusion, tx, batch, rng = tiny_setup
+        state = init_train_state(
+            vae, tx, rng, (batch["pc"], batch["grasps"].reshape(-1, 7)),
+            {"rng": rng},
+        )
+        return state.replace(step=jnp.asarray(step, jnp.int32))
+
+    def test_retains_k_best_and_prunes_worst(self, tiny_setup, tmp_path):
+        from graspldm_tpu.training.experiment import (
+            Experiment,
+            TopKCheckpoints,
+            restore_checkpoint,
+        )
+
+        exp = Experiment(str(tmp_path), "exp_topk", "vae")
+        topk = TopKCheckpoints(exp, k=3)
+        scores = {1000: 5.0, 2000: 3.0, 3000: 4.0, 4000: 2.0, 5000: 6.0}
+        written = {
+            s: topk.update(s, v, self._state(tiny_setup, s))
+            for s, v in scores.items()
+        }
+        # 5000 (score 6.0) never ranks: worst of {5,3,4} at that point is
+        # already pruned to {3,4,2}
+        assert written == {1000: True, 2000: True, 3000: True,
+                           4000: True, 5000: False}
+        kept = sorted(
+            d for d in os.listdir(exp.ckpt_dir) if d.startswith("topk_step")
+        )
+        assert kept == ["topk_step00002000", "topk_step00003000",
+                        "topk_step00004000"]
+        # entries are best-first and the best one restores at its step
+        assert [e["step"] for e in topk.entries] == [4000, 2000, 3000]
+        best = restore_checkpoint(
+            exp.checkpoint_path(topk.entries[0]["name"]),
+            self._state(tiny_setup, 0),
+        )
+        assert int(best.step) == 4000
+
+    def test_index_survives_restart(self, tiny_setup, tmp_path):
+        from graspldm_tpu.training.experiment import (
+            Experiment,
+            TopKCheckpoints,
+        )
+
+        exp = Experiment(str(tmp_path), "exp_topk_resume", "vae")
+        topk = TopKCheckpoints(exp, k=2)
+        topk.update(100, 1.0, self._state(tiny_setup, 100))
+        topk.update(200, 2.0, self._state(tiny_setup, 200))
+
+        # fresh instance (a resumed run) sees the same ranking and keeps
+        # rejecting worse scores
+        again = TopKCheckpoints(exp, k=2)
+        assert [e["step"] for e in again.entries] == [100, 200]
+        assert not again.update(300, 9.0, self._state(tiny_setup, 300))
+        assert again.update(400, 0.5, self._state(tiny_setup, 400))
+        kept = sorted(
+            d for d in os.listdir(exp.ckpt_dir) if d.startswith("topk_step")
+        )
+        assert kept == ["topk_step00000100", "topk_step00000400"]
+
+
 class TestClassifierStep:
     def test_classifier_train_step(self):
         from graspldm_tpu.models.grasp_classifier import PointsBasedGraspClassifier

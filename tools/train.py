@@ -180,6 +180,9 @@ def main():
         eval_every=int(trainer_cfg.get("eval_every", 0)),
         steps_per_dispatch=int(trainer_cfg.get("steps_per_dispatch", 1)),
         dispatch_unroll=int(trainer_cfg.get("dispatch_unroll", 1)),
+        # reference default: keep the top-3 checkpoints by loss
+        # (`grasp_generation_trainer.py:146-173`)
+        keep_top_k=int(trainer_cfg.get("keep_top_k", 3)),
     )
 
     example = next(dataset.batches(batch_size))
