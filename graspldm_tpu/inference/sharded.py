@@ -59,13 +59,15 @@ def _check_build_meta(meta: Optional[NormalizationMeta]):
 
 
 def _make_sharded_runner(
-    mesh, axis, n_weight_args, per_chip, shape_fn, grasp_axis=False
+    mesh, axis, n_weight_args, per_chip, shape_fn, grasp_axis=False,
+    supports_cond=False,
 ):
     """Shared scaffolding for the sharded generation entry points.
 
-    ``per_chip(*weights, pc, key, meta)`` is the per-shard body; ``shape_fn``
-    gives the result tree via eval_shape on the per-chip shard. Programs are
-    compiled once per (pc shape, dtype, meta shapes); weights/key replicate.
+    ``per_chip(*weights, pc, key, meta, cond)`` is the per-shard body;
+    ``shape_fn`` gives the result tree via eval_shape on the per-chip shard.
+    Programs are compiled once per (pc shape, dtype, meta/cond shapes);
+    weights/key replicate.
 
     Two sharding modes:
       * object mode (default): pc — and per-object runtime meta — shard
@@ -75,12 +77,33 @@ def _make_sharded_runner(
         closes over the per-chip grasp count and folds the chip index
         into the key); results shard on axis 1 — the grasp axis of
         ``grasps [B, G, 4, 4]`` / ``confidence [B, G]``.
+
+    ``cond`` is a dict of per-(object, grasp) conditioning tensors with
+    leading dims ``[B, G, ...]`` (``cls_cond [B, G]``,
+    ``region_points [B, G, P, 3]``): the object axis shards in object mode,
+    the GRASP axis shards in grasp mode — each chip conditions exactly the
+    grasps it generates.
     """
     n = mesh.shape[axis]
     compiled: Dict = {}
 
-    def run(*args, meta: Optional[NormalizationMeta] = None):
+    def run(
+        *args,
+        meta: Optional[NormalizationMeta] = None,
+        cls_cond=None,
+        region_points=None,
+    ):
         *weights, pc, key = args
+        cond = {
+            k: jnp.asarray(v)
+            for k, v in
+            dict(cls_cond=cls_cond, region_points=region_points).items()
+            if v is not None
+        }
+        if cond and not supports_cond:
+            raise ValueError(
+                "conditioning tensors are only supported by the LDM runner"
+            )
         if not grasp_axis and pc.shape[0] % n:
             raise ValueError(
                 f"object batch {pc.shape[0]} not divisible by the "
@@ -93,6 +116,17 @@ def _make_sharded_runner(
                     "runtime meta must be per-object (leading batch dim "
                     f"{pc.shape[0]}); got a leaf of shape {jnp.shape(leaf)}"
                 )
+        for name, leaf in cond.items():
+            if jnp.ndim(leaf) < 2 or leaf.shape[0] != pc.shape[0]:
+                raise ValueError(
+                    f"{name} must be per-(object, grasp) with leading dims "
+                    f"[B={pc.shape[0]}, G, ...]; got shape {leaf.shape}"
+                )
+            if grasp_axis and leaf.shape[1] % n:
+                raise ValueError(
+                    f"{name} grasp axis {leaf.shape[1]} not divisible by "
+                    f"the {axis!r} axis size {n}"
+                )
 
         def shard(s):
             if grasp_axis:
@@ -101,22 +135,36 @@ def _make_sharded_runner(
                 (s.shape[0] // n,) + s.shape[1:], s.dtype
             )
 
+        def shard_cond(s):
+            if grasp_axis:  # the G axis (dim 1) shards
+                return jax.ShapeDtypeStruct(
+                    (s.shape[0], s.shape[1] // n) + s.shape[2:], s.dtype
+                )
+            return shard(s)
+
         sig = (
             pc.shape, str(pc.dtype),
             tuple((l.shape, str(l.dtype)) for l in meta_leaves),
+            tuple((k, v.shape, str(v.dtype)) for k, v in sorted(cond.items())),
         )
         if sig not in compiled:
             meta_abs = jax.tree.map(
                 lambda l: shard(jax.ShapeDtypeStruct(l.shape, l.dtype)), meta
             )
+            cond_abs = {
+                k: shard_cond(jax.ShapeDtypeStruct(v.shape, v.dtype))
+                for k, v in cond.items()
+            }
             out_tree = jax.eval_shape(
                 shape_fn,
                 *weights,
                 shard(pc),
                 jax.ShapeDtypeStruct(key.shape, key.dtype),
                 meta_abs,
+                cond_abs,
             )
             data_spec = P() if grasp_axis else P(axis)
+            cond_spec = P(None, axis) if grasp_axis else P(axis)
             out_specs = (
                 {k: P(None, axis) for k in out_tree}
                 if grasp_axis
@@ -127,7 +175,7 @@ def _make_sharded_runner(
                     per_chip,
                     mesh=mesh,
                     in_specs=(P(),) * n_weight_args
-                    + (data_spec, P(), data_spec),
+                    + (data_spec, P(), data_spec, cond_spec),
                     out_specs=out_specs,
                     # the per-chip body may launch Pallas kernels, whose
                     # out_shapes carry no varying-mesh-axes metadata —
@@ -137,11 +185,15 @@ def _make_sharded_runner(
             )
         repl = NamedSharding(mesh, P())
         data = repl if grasp_axis else NamedSharding(mesh, P(axis))
+        cond_sh = NamedSharding(
+            mesh, P(None, axis) if grasp_axis else P(axis)
+        )
         return compiled[sig](
             *(jax.device_put(w, repl) for w in weights),
             jax.device_put(pc, data),
             jax.device_put(key, repl),
             jax.tree.map(lambda l: jax.device_put(l, data), meta),
+            {k: jax.device_put(v, cond_sh) for k, v in cond.items()},
         )
 
     return run
@@ -169,6 +221,7 @@ def make_sharded_ldm_generate(
     denoiser_impl: str = "auto",
     axis: str = "data",
     guidance_scale: Optional[float] = None,
+    cfg_scale: Optional[float] = None,
     shard: str = "objects",
 ):
     """Build a jitted ``(vae_vars, ddm_vars, pc, key) -> results`` program
@@ -200,8 +253,13 @@ def make_sharded_ldm_generate(
 
     ``guidance_scale`` enables decoder-success guidance per chip (the
     guidance VJP runs on each chip's own shard; still collective-free).
-    CFG (``cfg_scale``) needs the conditioning tensors sharded alongside
-    ``pc`` and is not plumbed here — use :func:`ldm_generate` per shard.
+    ``cfg_scale`` enables classifier-free guidance for conditioned
+    checkpoints: pass the conditioning tensors at CALL time —
+    ``run(..., cls_cond=[B, G], region_points=[B, G, P, 3])`` — and they
+    shard alongside the generation axis (object mode: leading B axis;
+    grasp mode: the G axis), so each chip conditions exactly the grasps
+    it generates. Per-chip parity with :func:`ldm_generate` on the
+    matching cond slice is tested on the virtual 8-CPU mesh.
     """
     _check_build_meta(meta)
     _check_grasp_shard(shard, num_grasps, mesh, axis)
@@ -209,7 +267,19 @@ def make_sharded_ldm_generate(
         num_grasps // mesh.shape[axis] if shard == "grasps" else num_grasps
     )
 
-    def per_chip(vae_vars, ddm_vars, pc, key, rt_meta):
+    def _cond_kwargs(cond):
+        # per-chip [B_chip, G_chip, ...] -> the flat [B_chip*G_chip, ...]
+        # layout ldm_generate expects (object-major, matching its
+        # jnp.repeat(z_pc, G) ordering)
+        kw = {}
+        if "cls_cond" in cond:
+            kw["cls_cond"] = cond["cls_cond"].reshape(-1)
+        if "region_points" in cond:
+            rp = cond["region_points"]
+            kw["region_points"] = rp.reshape((-1,) + rp.shape[2:])
+        return kw
+
+    def per_chip(vae_vars, ddm_vars, pc, key, rt_meta, cond):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return ldm_generate(
             vae, vae_vars, ddm, ddm_vars, diffusion, pc, g_chip, key,
@@ -217,20 +287,25 @@ def make_sharded_ldm_generate(
             meta=rt_meta if rt_meta is not None else meta,
             denoiser_impl=denoiser_impl,
             guidance_scale=guidance_scale,
+            cfg_scale=cfg_scale,
+            **_cond_kwargs(cond),
         )
 
     # out_specs depend on the result dict's keys; resolved lazily from an
     # abstract evaluation so optional keys (qualities) are covered.
-    def shape_fn(vv, dv, p, k, m):
+    def shape_fn(vv, dv, p, k, m, cond):
         return ldm_generate(
             vae, vv, ddm, dv, diffusion, p, g_chip, k,
             num_inference_steps=num_inference_steps, sampler=sampler,
             meta=m if m is not None else meta, denoiser_impl="flax",
             guidance_scale=guidance_scale,
+            cfg_scale=cfg_scale,
+            **_cond_kwargs(cond),
         )
 
     return _make_sharded_runner(
-        mesh, axis, 2, per_chip, shape_fn, grasp_axis=shard == "grasps"
+        mesh, axis, 2, per_chip, shape_fn, grasp_axis=shard == "grasps",
+        supports_cond=True,
     )
 
 
@@ -255,14 +330,16 @@ def make_sharded_vae_generate(
         num_grasps // mesh.shape[axis] if shard == "grasps" else num_grasps
     )
 
-    def per_chip(vae_vars, pc, key, rt_meta):
+    def per_chip(vae_vars, pc, key, rt_meta, cond):
+        del cond  # VAE-mode generation takes no conditioning tensors
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return vae_generate(
             vae, vae_vars, pc, g_chip, key,
             meta=rt_meta if rt_meta is not None else meta,
         )
 
-    def shape_fn(vv, p, k, m):
+    def shape_fn(vv, p, k, m, cond):
+        del cond
         return vae_generate(
             vae, vv, p, g_chip, k, meta=m if m is not None else meta
         )

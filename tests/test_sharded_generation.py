@@ -249,6 +249,122 @@ def test_grasp_sharded_vae_and_meta(mesh, models):
     )
 
 
+@pytest.fixture(scope="module")
+def cond_models():
+    """Class-conditioned flagship for the CFG sharding tests."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, conditioning="class", cond_dropout=0.1)
+    vae, ddm, diffusion = build_flagship(cfg)
+    rng = jax.random.PRNGKey(5)
+    B, N, G = 8, 32, 2
+    pc = jax.random.normal(rng, (B, N, 3))
+    grasps = jax.random.normal(rng, (B * G, 7))
+    vae_vars = vae.init({"params": rng, "dropout": rng}, pc, grasps)
+    x = jnp.zeros((B * G, 1, cfg.grasp_latent_size))
+    t = jnp.zeros((B * G,), jnp.int32)
+    zc = jnp.zeros((B * G, cfg.pc_latent_channels, cfg.pc_latent_size))
+    ddm_vars = ddm.init(
+        {"params": rng, "dropout": rng}, x, t, zc, jnp.zeros((B * G,))
+    )
+    return vae, ddm, diffusion, vae_vars, ddm_vars, pc, G
+
+
+def test_sharded_cfg_matches_per_shard_runs(mesh, cond_models):
+    """CFG in the sharded path (VERDICT r4 #9): cls_cond shards with the
+    object axis and each chip's doubled-batch CFG run equals the unsharded
+    `ldm_generate(cfg_scale=...)` on its cond slice."""
+    vae, ddm, diffusion, vae_vars, ddm_vars, pc, G = cond_models
+    key = jax.random.PRNGKey(17)
+    n = mesh.shape["data"]
+    B = pc.shape[0]
+    cls_cond = jnp.tile(
+        jnp.arange(B, dtype=jnp.float32)[:, None] % 2.0, (1, G)
+    )
+
+    run = make_sharded_ldm_generate(
+        mesh, vae, ddm, diffusion, num_grasps=G, num_inference_steps=4,
+        sampler="ddim", denoiser_impl="flax", cfg_scale=2.5,
+    )
+    out = run(vae_vars, ddm_vars, pc, key, cls_cond=cls_cond)
+    assert out["grasps"].shape == (B, G, 4, 4)
+
+    shard = B // n
+    for i in (0, 5):
+        want = ldm_generate(
+            vae, vae_vars, ddm, ddm_vars, diffusion,
+            pc[i * shard : (i + 1) * shard], G,
+            jax.random.fold_in(key, i),
+            num_inference_steps=4, sampler="ddim", denoiser_impl="flax",
+            cfg_scale=2.5,
+            cls_cond=cls_cond[i * shard : (i + 1) * shard].reshape(-1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["grasps"][i * shard : (i + 1) * shard]),
+            np.asarray(want["grasps"]),
+            atol=2e-5, rtol=2e-5,
+        )
+
+    # conditioning actually matters: flipping the labels changes the grasps
+    out_flipped = run(vae_vars, ddm_vars, pc, key, cls_cond=1.0 - cls_cond)
+    assert not np.allclose(
+        np.asarray(out["grasps"]), np.asarray(out_flipped["grasps"])
+    )
+
+
+def test_grasp_sharded_cfg_shards_cond_on_grasp_axis(mesh, cond_models):
+    """shard="grasps" + CFG: pc replicates while cls_cond's GRASP axis
+    shards — each chip conditions exactly the G/n grasps it samples."""
+    vae, ddm, diffusion, vae_vars, ddm_vars, pc, _ = cond_models
+    key = jax.random.PRNGKey(19)
+    n = mesh.shape["data"]
+    G = 2 * n
+    pc1 = pc[:1]
+    # distinct label per grasp so a mis-sharded cond would be visible
+    cls_cond = (jnp.arange(G, dtype=jnp.float32)[None] % 2.0)
+
+    run = make_sharded_ldm_generate(
+        mesh, vae, ddm, diffusion, num_grasps=G, num_inference_steps=3,
+        sampler="ddim", denoiser_impl="flax", cfg_scale=2.0,
+        shard="grasps",
+    )
+    out = run(vae_vars, ddm_vars, pc1, key, cls_cond=cls_cond)
+    assert out["grasps"].shape == (1, G, 4, 4)
+
+    gn = G // n
+    for i in (0, 7):
+        want = ldm_generate(
+            vae, vae_vars, ddm, ddm_vars, diffusion, pc1, gn,
+            jax.random.fold_in(key, i),
+            num_inference_steps=3, sampler="ddim", denoiser_impl="flax",
+            cfg_scale=2.0,
+            cls_cond=cls_cond[:, i * gn : (i + 1) * gn].reshape(-1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["grasps"][:, i * gn : (i + 1) * gn]),
+            np.asarray(want["grasps"]),
+            atol=2e-5, rtol=2e-5,
+        )
+
+
+def test_cond_validation(mesh, models, cond_models):
+    vae_u, ddm_u, diffusion_u, vae_vars_u, _, pc, G = models
+    # VAE runner rejects conditioning tensors
+    run_vae = make_sharded_vae_generate(mesh, vae_u, num_grasps=G)
+    with pytest.raises(ValueError, match="LDM"):
+        run_vae(vae_vars_u, pc, jax.random.PRNGKey(0),
+                cls_cond=jnp.zeros((pc.shape[0], G)))
+    # cond without the [B, G, ...] layout is rejected
+    vae, ddm, diffusion, vae_vars, ddm_vars, pc_c, Gc = cond_models
+    run = make_sharded_ldm_generate(
+        mesh, vae, ddm, diffusion, num_grasps=Gc, num_inference_steps=2,
+        denoiser_impl="flax", cfg_scale=2.0,
+    )
+    with pytest.raises(ValueError, match="leading dims"):
+        run(vae_vars, ddm_vars, pc_c, jax.random.PRNGKey(0),
+            cls_cond=jnp.zeros((pc_c.shape[0] * Gc,)))
+
+
 def test_grasp_shard_validation(mesh, models):
     vae, ddm, diffusion, *_ = models
     n = mesh.shape["data"]
