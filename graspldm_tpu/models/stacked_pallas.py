@@ -93,6 +93,13 @@ __all__ = ["pack_pallas_weights", "stacked_denoiser_pallas_apply"]
 # All are exact.
 ATTN_IMPL = os.environ.get("GRASPLDM_ATTN_IMPL", "mloop")
 
+# score/softmax head-broadcast strategy: "matmul" ([R, L*H] @ qbcast — an
+# MXU pass as big as the score pooling itself, K=128-padded x N=L*hd) or
+# "repeat" (VPU lane-repeat: each (l, h) score lane replicated D times —
+# drops HALF the attention MXU flops if Mosaic lowers it well; measure
+# with tools/bench_pallas.py --stages before flipping the default).
+ATTN_BCAST = os.environ.get("GRASPLDM_ATTN_BCAST", "matmul")
+
 # v2 norm/FiLM paths: GroupNorm statistics, their normalize/affine
 # broadcasts, and the FiLM scale/shift are all POSITION-INDEPENDENT (the
 # affine gains are per-channel and the FiLM MLP weights are tiled L times
@@ -596,6 +603,13 @@ def _tile_block(x, m, hd, L):
     return jnp.concatenate([blk] * L, axis=-1)
 
 
+def _head_bcast(s, D, dtype=None):
+    """[R, n*H] per-head scalars -> [R, n*hd], each lane repeated D times
+    (the qbcast matmul's exact result, on the VPU instead of the MXU)."""
+    out = jnp.repeat(s, D, axis=1)
+    return out if dtype is None else out.astype(dtype)
+
+
 def _attention_k(x, g, i, L, C, H, D):
     """Linear attention, (q k^T) v order, batched score pooling."""
     hd = H * D
@@ -621,7 +635,10 @@ def _attention_k(x, g, i, L, C, H, D):
     # (exact softmax; larger shift only costs underflow range)
     qmax = jnp.max(q, axis=-1, keepdims=True)
     qe = jnp.exp(q - qmax)
-    qs = _mmf(_mmf(qe, g["qpool"]), g["qbcast"])
+    if ATTN_BCAST == "repeat":
+        qs = _head_bcast(_mmf(qe, g["qpool"]), D)
+    else:
+        qs = _mmf(_mmf(qe, g["qpool"]), g["qbcast"])
     qn = ((qe / qs) * (float(D) ** -0.5)).astype(x.dtype)
 
     # k softmax over the L position blocks per (h, d), batched full-width
@@ -644,7 +661,11 @@ def _attention_k(x, g, i, L, C, H, D):
             [_tile_block(v, m, hd, L) for m in range(L)], axis=-1
         )
         s = _mmd(qt * kt, g["qpool_p"], x.dtype)             # [R, L^2*H]
-        sb = _mmd(s, g["qbcast_p"], x.dtype)
+        sb = (
+            _head_bcast(s, D)
+            if ATTN_BCAST == "repeat"
+            else _mmd(s, g["qbcast_p"], x.dtype)
+        )
         terms = sb * vt
         w = L * hd
         out = functools.reduce(
@@ -660,7 +681,11 @@ def _attention_k(x, g, i, L, C, H, D):
         for l in range(L):
             ql = _tile_block(qn, l, hd, L)                   # [R, L*hd]
             s = _mmd(ql * kn, g["qpool_c"], x.dtype)         # [R, L*H]
-            sb = _mmd(s, g["qbcast_c"], x.dtype)             # [R, L*hd]
+            sb = (
+                _head_bcast(s, D)
+                if ATTN_BCAST == "repeat"
+                else _mmd(s, g["qbcast_c"], x.dtype)         # [R, L*hd]
+            )
             term = sb * v
             parts.append(functools.reduce(
                 jnp.add,
@@ -676,7 +701,11 @@ def _attention_k(x, g, i, L, C, H, D):
         for m in range(L):
             km = _tile_block(kn, m, hd, L)                   # [R, L*hd]
             s = _mmd(qn * km, g["qpool_c"], x.dtype)         # [R, L*H]
-            sb = _mmd(s, g["qbcast_c"], x.dtype)             # [R, L*hd]
+            sb = (
+                _head_bcast(s, D)
+                if ATTN_BCAST == "repeat"
+                else _mmd(s, g["qbcast_c"], x.dtype)         # [R, L*hd]
+            )
             term = sb * _tile_block(v, m, hd, L)
             out = term if out is None else out + term
 

@@ -28,3 +28,76 @@ jax.config.update("jax_enable_x64", False)
 # Full fp32 matmuls for numerical parity tests (the runtime default keeps
 # the faster bf16-multiply path for production/bench).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Suite tiering: `pytest -m smoke` is the <5-minute signal on this 1-CPU
+# host (VERDICT r4 #2 — the full suite takes >30 min cold, dominated by XLA
+# compiles). The smoke tier covers every subsystem SHALLOWLY: whole modules
+# where all tests are cheap, plus one named representative for each module
+# whose tests pay big jit compiles. Everything stays in the full suite.
+# ---------------------------------------------------------------------------
+
+# modules where (nearly) every test is cheap — all smoke, minus exclusions
+_SMOKE_MODULES = {
+    "test_augmentations.py",
+    "test_config.py",
+    "test_data.py",
+    "test_determinism.py",
+    "test_diffusion.py",
+    "test_export.py",
+    "test_input_pipeline.py",
+    "test_masking_and_gt.py",
+    "test_metrics.py",
+    "test_native_and_helpers.py",
+    "test_ops.py",
+    "test_pallas_fps.py",
+    "test_rotations.py",
+    "test_sharding.py",
+    "test_vendored_extras.py",
+}
+
+# individually expensive tests inside the modules above (measured >4 s of
+# compile each) — full tier only
+_SMOKE_EXCLUDE = {
+    "test_vendored_extras.py::TestPointNet2Nets::test_forward_shapes[PointNet2SSG-sa0-fp0]",
+    "test_vendored_extras.py::TestPointNet2Nets::test_forward_shapes[PointNet2MSG-sa1-fp1]",
+    "test_vendored_extras.py::TestPVCNN2Decoders::test_pvcnn2_decoder_generates_points",
+    "test_vendored_extras.py::TestFrustumLoss::test_finite_and_positive",
+    "test_vendored_extras.py::TestPointNetAModule::test_global_pool_shapes_and_invariance",
+    "test_vendored_extras.py::TestPointNetAModule::test_multi_branch",
+    "test_vendored_extras.py::TestFrustumLoss::test_perfect_regression_leaves_only_classification",
+}
+
+# shallow representatives of the compile-heavy modules
+_SMOKE_EXTRA = {
+    "test_extras.py::TestElucidated::test_churn_and_dpmpp_run",
+    "test_extras.py::TestElucidated::test_loss_zero_for_perfect_denoiser",
+    # TopK exercises save/restore + the tiny_setup train-state init; the
+    # heavier per-step and roundtrip tests stay full-tier
+    "test_training.py::TestTopKCheckpoints::test_index_survives_restart",
+    "test_serving.py::test_serving_real_model_smoke",
+    "test_guidance.py::test_cfg_requires_conditioning",
+    "test_inference_classifier.py::test_scores_shape_range_determinism",
+    # sharded GENERATION parity (44 s) is full-tier; the sharding
+    # subsystem's smoke signal is the whole test_sharding.py module
+    # (mesh, DP grad all-reduce, sharded sampler batch, 2D mesh).
+    # model forwards are covered by test_serving's real-model smoke +
+    # the fused-denoiser parity below; test_models' flagship builds
+    # (31 s) are full-tier.
+    "test_fused_denoiser.py::test_fused_reference_matches_flax_module",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        nodeid = item.nodeid.split("/")[-1]  # strip tests/ prefix
+        module = nodeid.split("::")[0]
+        if nodeid in _SMOKE_EXTRA or (
+            module in _SMOKE_MODULES
+            and nodeid not in _SMOKE_EXCLUDE
+            and "slow" not in item.keywords
+        ):
+            item.add_marker(pytest.mark.smoke)
