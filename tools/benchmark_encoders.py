@@ -74,6 +74,11 @@ def main():
     p.add_argument("--warmup", type=int, default=20)
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--csv", default=None)
+    p.add_argument("--report", default=None, metavar="DIR",
+                   help="write report.md + results.csv (+ latency/"
+                   "throughput plots when matplotlib is available) to DIR "
+                   "— the reference harness's report artifacts "
+                   "(`ext/pvcnn/benchmark.py:157,360`)")
     args = p.parse_args()
 
     from graspldm_tpu.models.pvcnn import PVCNNEncoder
@@ -103,11 +108,80 @@ def main():
         )
 
     if args.csv:
-        with open(args.csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-            w.writeheader()
-            w.writerows(rows)
-        print(f"wrote {args.csv}")
+        _write_csv(args.csv, rows)
+    if args.report:
+        write_report(args.report, rows, args)
+
+
+def _write_csv(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {path}")
+
+
+def write_report(out_dir, rows, args):
+    """Markdown + CSV (+ plots) report directory, mirroring the reference
+    harness's artifacts (`ext/pvcnn/benchmark.py` writes markdown/CSV/plots
+    to `doc/pc_encoder_benchmark_results/`)."""
+    os.makedirs(out_dir, exist_ok=True)
+    _write_csv(os.path.join(out_dir, "results.csv"), rows)
+
+    dev = jax.devices()[0]
+    cols = ["model", "batch_size", "n_points", "avg_ms", "p50_ms",
+            "p95_ms", "p99_ms", "samples_per_s"]
+    lines = [
+        "# Point-cloud encoder benchmark",
+        "",
+        f"Device: `{dev.device_kind}` ({dev.platform}) — "
+        f"{args.warmup} warmup + {args.iters} timed iterations per point, "
+        "materialized-read syncs.",
+        "",
+        "| " + " | ".join(cols) + " |",
+        "|" + "|".join("---" for _ in cols) + "|",
+    ]
+    for r in rows:
+        lines.append(
+            "| " + " | ".join(
+                f"{r[c]:.2f}" if isinstance(r[c], float) else str(r[c])
+                for c in cols
+            ) + " |"
+        )
+    md = os.path.join(out_dir, "report.md")
+    with open(md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {md}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping plots")
+        return
+    models = sorted({r["model"] for r in rows})
+    for metric, ylabel, fname in (
+        ("avg_ms", "latency (ms, avg)", "latency.png"),
+        ("samples_per_s", "throughput (samples/s)", "throughput.png"),
+    ):
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for m in models:
+            pts = [(r["batch_size"], r[metric]) for r in rows
+                   if r["model"] == m]
+            ax.plot(*zip(*sorted(pts)), marker="o", label=m)
+        ax.set_xscale("log", base=2)
+        ax.set_yscale("log")
+        ax.set_xlabel("batch size")
+        ax.set_ylabel(ylabel)
+        ax.legend()
+        ax.grid(True, which="both", alpha=0.3)
+        fig.tight_layout()
+        path = os.path.join(out_dir, fname)
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":
