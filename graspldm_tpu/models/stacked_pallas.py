@@ -89,8 +89,14 @@ __all__ = ["pack_pallas_weights", "stacked_denoiser_pallas_apply"]
 # attention inner-product strategy: "mloop" (one pooling-matmul pair per key
 # position), "lloop" (one pair per QUERY position: drops the v-tile
 # materialization and turns the full-width output accumulation into
-# hd-wide slice reductions) or "pairs" (single L^2-wide batched pooling).
-# All are exact.
+# hd-wide slice reductions), "pairs" (single L^2-wide batched pooling) or
+# "opt" (per-query loop with the q-softmax normalization FOLDED into a
+# per-(l,h) post-accumulation scale, reciprocal-multiply softmax
+# denominators, slice-wise products and hd-slice FMA accumulation — the
+# same matmul count as lloop but ~2.5 fewer full-width VPU passes per
+# query position; measured WITHIN RUN NOISE of mloop on the z16 chain,
+# 7.03 vs 7.06 ms/step — the chain is critical-path bound, not
+# VPU-pass bound). All are exact (up to float reassociation).
 ATTN_IMPL = os.environ.get("GRASPLDM_ATTN_IMPL", "mloop")
 
 # score/softmax head-broadcast strategy: "matmul" ([R, L*H] @ qbcast — an
@@ -445,6 +451,15 @@ def _mmd(a, b, dtype):
 
 
 def _silu_f32(x):
+    """SiLU with fp32 transcendentals (Mosaic miscompiles bf16 `logistic`).
+
+    The raw-exp form ``x / (1 + exp(-x))`` measures 2.0x faster in
+    ISOLATION (112.5 -> 56.7 us per [8192, 2048] call, bit-identical;
+    tools/bench_silu.py) but a WASH in situ (z16 chain 7.06 -> 7.14
+    ms/step): the kernels' VPU work hides under the MXU pipeline, so
+    only matmul-count changes move the chain. Kept in the canonical
+    ``x * sigmoid(x)`` form.
+    """
     xf = x.astype(jnp.float32)
     return (xf * jax.nn.sigmoid(xf)).astype(x.dtype)
 
@@ -487,10 +502,16 @@ def _norm_apply2_k(x, shift, pool2, bcs2, eps=1e-5):
 def _norm_apply_k(x, shift, pool, bcast_s, eps=1e-5):
     """Normalize-with-folded-affine on ``x [R, LC]``.
 
-    Stats (mean/var over the pooling pattern) in fp32 via one-hot matmuls;
-    the full-width application runs in the compute dtype:
+    Stats (mean/var over the pooling pattern) via one-hot matmuls; the
+    full-width application runs in the compute dtype:
     ``y = x * A - B (+ shift)`` with ``A = inv @ bcast_s`` and
     ``B = (mu * inv) @ bcast_s`` (bcast_s carries the affine gain).
+
+    (bf16-input stat matmuls — MXU fp32 accumulation from compute-dtype
+    operands — were measured a WASH on the z16 chain, 7.056 -> 7.039
+    ms/step within run noise, and reverted: the chain is bound by its
+    dependent-op critical path, not stat-matmul precision. See NEXT.md
+    round-5 notes.)
     """
     xf = x.astype(jnp.float32)
     mu = _mmf(xf, pool)          # [R, groups|L] (already averaged)
@@ -610,6 +631,88 @@ def _head_bcast(s, D, dtype=None):
     return out if dtype is None else out.astype(dtype)
 
 
+def _attention_tail(x, out, g, i, L, C):
+    """Shared attention epilogue: out-projection + LayerNorm + residual."""
+    if f"b{i}_Wo_c" in g:
+        hd_ = g[f"b{i}_Wo_c"].shape[0]
+        out = (
+            _dense_per_l_k(out, g[f"b{i}_Wo_c"], L, hd_, x.dtype)
+            + g[f"b{i}_Wo_b"]
+        )
+    else:
+        out = _mmd(out, g[f"b{i}_Wo"], x.dtype) + g[f"b{i}_Wo_b"]
+    out = _norm_apply_k(out, None, g[f"pospool_{C}"], g[f"b{i}_outA"])
+    return x + out
+
+
+def _attention_opt(x, qe, k, v, g, L, H, D):
+    """VPU-diet score path (``ATTN_IMPL="opt"``).
+
+    Identical math to mloop/lloop, restructured to cut both the MXU and
+    VPU cost of the per-row score contraction:
+
+    * the q-softmax DENOMINATOR (and the ``D**-0.5`` scale) is not applied
+      to ``qe`` — it is a per-``(l, h)`` scalar, so it commutes through the
+      d-contraction AND the m-accumulation and lands as one narrow
+      ``[R, hd]`` multiply on the accumulated output per query position
+      (drops the q-normalization division and its broadcast entirely);
+    * the k-softmax divides once per (h, d) via a narrow reciprocal
+      ([R, hd]) and a full-width MULTIPLY (bf16) instead of a full-width
+      fp32 divide;
+    * the m-accumulation runs as hd-wide slice FMAs (no full-width term
+      tensor, no full-width accumulator, no q/k/v tile materializations).
+
+    The pooling + broadcast MATMULS are kept: they are the lane-crossing
+    floor of this dataflow (every (l, m) score is contracted FROM a
+    32-lane segment and fanned back OUT to 32 lanes; on Mosaic every
+    lane-crossing primitive — one-hot matmul, transpose, interleave — has
+    the same ~[R,2048]x128 MXU cost, and `jnp.repeat` does not lower at
+    all). See the module docstring for the measured-and-rejected list.
+
+    Exact up to float reassociation; parity-tested against the flax
+    lowering in tests/test_fused_denoiser.py.
+    """
+    hd = H * D
+    dt = x.dtype
+    # folded q normalization: out_l scale = D^-0.5 / qs[l, h], broadcast
+    # once for all query positions (ONE bcast matmul instead of L).
+    qs = _mmf(qe, g["qpool"])                       # [R, L*H] fp32
+    qinv = ((float(D) ** -0.5) / qs).astype(dt)     # narrow reciprocal
+    qinvw = _mmd(qinv, g["qbcast_c"], dt)           # [R, L*hd]
+    qeb = qe.astype(dt)
+
+    # k softmax over the L position blocks per (h, d): reciprocal-multiply
+    # (narrow [R, hd] reciprocal + bf16 multiply, not a full-width divide)
+    kblks = [k[:, m * hd : (m + 1) * hd] for m in range(L)]
+    kmax = functools.reduce(jnp.maximum, kblks)
+    ke = jnp.exp(k - _tile_full(kmax, L))
+    ksum = functools.reduce(
+        jnp.add, [ke[:, m * hd : (m + 1) * hd] for m in range(L)]
+    )
+    krecip = (1.0 / ksum).astype(dt)
+    kn = ke.astype(dt) * _tile_full(krecip, L)
+
+    parts = []
+    for l in range(L):
+        ql = qeb[:, l * hd : (l + 1) * hd]
+        # slice-wise products (no ql tile materialization)
+        prod = jnp.concatenate(
+            [ql * kn[:, m * hd : (m + 1) * hd] for m in range(L)], axis=-1
+        )
+        s = _mmd(prod, g["qpool_c"], dt)            # [R, L*H] raw scores
+        sb = _mmd(s, g["qbcast_c"], dt)             # [R, L*hd]
+        # m-accumulation: hd-wide slice FMAs (no full-width term tensor)
+        acc = functools.reduce(
+            jnp.add,
+            [
+                sb[:, m * hd : (m + 1) * hd] * v[:, m * hd : (m + 1) * hd]
+                for m in range(L)
+            ],
+        )
+        parts.append(acc * qinvw[:, l * hd : (l + 1) * hd])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _attention_k(x, g, i, L, C, H, D):
     """Linear attention, (q k^T) v order, batched score pooling."""
     hd = H * D
@@ -635,6 +738,9 @@ def _attention_k(x, g, i, L, C, H, D):
     # (exact softmax; larger shift only costs underflow range)
     qmax = jnp.max(q, axis=-1, keepdims=True)
     qe = jnp.exp(q - qmax)
+    if ATTN_IMPL == "opt":
+        out = _attention_opt(x, qe, k, v, g, L, H, D)
+        return _attention_tail(x, out, g, i, L, C)
     if ATTN_BCAST == "repeat":
         qs = _head_bcast(_mmf(qe, g["qpool"]), D)
     else:
@@ -709,16 +815,7 @@ def _attention_k(x, g, i, L, C, H, D):
             term = sb * _tile_block(v, m, hd, L)
             out = term if out is None else out + term
 
-    hd_ = H * D
-    if f"b{i}_Wo_c" in g:
-        out = (
-            _dense_per_l_k(out, g[f"b{i}_Wo_c"], L, hd_, x.dtype)
-            + g[f"b{i}_Wo_b"]
-        )
-    else:
-        out = _mmd(out, g[f"b{i}_Wo"], x.dtype) + g[f"b{i}_Wo_b"]
-    out = _norm_apply_k(out, None, g[f"pospool_{C}"], g[f"b{i}_outA"])
-    return x + out
+    return _attention_tail(x, out, g, i, L, C)
 
 
 # ---------------------------------------------------------------------------
@@ -878,10 +975,9 @@ def _stage_weight_names(w, stage_i, dims, C, final=False):
             f"pospool_{C}", "qpool", "qbcast",
             _conv_key(w, f"b{stage_i}_proj"), f"b{stage_i}_proj_b",
         ]
+        names += ["qpool_c", "qbcast_c"]
         if ATTN_IMPL == "pairs":
             names += ["qpool_p", "qbcast_p"]
-        else:
-            names += ["qpool_c", "qbcast_c"]
     return names
 
 

@@ -129,6 +129,46 @@ def test_stacked_pallas_z16_ppc_parity():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=5e-4)
 
 
+def test_stacked_pallas_attn_impl_parity():
+    """Every attention score-path strategy (mloop/lloop/pairs/opt) is exact:
+    parity vs the flax module at the z16 dims where attention dominates."""
+    from graspldm_tpu.models.fused_denoiser import DenoiserDims
+    from graspldm_tpu.models import stacked_pallas as sp
+
+    ddm = GraspLatentDDM(
+        dropout=None, latent_in_features=16, pc_latent_size=256,
+        block_channels=(32, 64),
+    )
+    dims = DenoiserDims(
+        seq_len=16, block_channels=(32, 64), groups=4,
+        emb_dim=64, cond_channels=3, cond_dim=256, fourier_dim=16,
+    )
+    key = jax.random.PRNGKey(26)
+    BG = 16
+    x = jax.random.normal(key, (BG, 1, 16))
+    t = (jnp.arange(BG, dtype=jnp.int32) * 53) % 1000
+    zc = jax.random.normal(jax.random.PRNGKey(27), (BG, 3, 256))
+    variables = ddm.init({"params": key}, x, t, zc)
+    want = np.asarray(ddm.apply(variables, x, t, zc))
+
+    prev = sp.ATTN_IMPL
+    try:
+        for impl in ("lloop", "pairs", "opt"):
+            sp.ATTN_IMPL = impl
+            w = sp.pack_pallas_weights(variables, dims, dtype=jnp.float32)
+            got = np.asarray(
+                sp.stacked_denoiser_pallas_apply(
+                    w, x, t, zc, dims, block_rows=8, interpret=True
+                )
+            )
+            np.testing.assert_allclose(
+                got, want, atol=2e-4, rtol=5e-4,
+                err_msg=f"ATTN_IMPL={impl}",
+            )
+    finally:
+        sp.ATTN_IMPL = prev
+
+
 def test_conditioned_models_on_kernel_paths():
     """Class/region conditioning is a step-invariant additive embedding:
     the stacked and Pallas paths reproduce the flax conditioned denoisers

@@ -30,9 +30,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("BG", nargs="?", type=int, default=8192)
     ap.add_argument("--stages", action="store_true")
-    ap.add_argument("--attn", default=None, choices=["mloop", "pairs"])
+    ap.add_argument(
+        "--attn", default=None, choices=["mloop", "lloop", "pairs", "opt"]
+    )
     ap.add_argument("--block-rows", type=int, default=512)
     ap.add_argument("--row-split", type=int, default=1)
+    ap.add_argument(
+        "--no-flax", action="store_true",
+        help="skip the flax-lowering baseline chain (slow compile)",
+    )
     ap.add_argument(
         "--z16", action="store_true",
         help="partial-pc flagship dims (L=16, pc_latent 256): times the "
@@ -75,14 +81,21 @@ def main():
                 q = sp._dense_per_l_k(x, g[f"b{i}_Wq_c"], L, C, x.dtype)
                 k = sp._dense_per_l_k(x, g[f"b{i}_Wk_c"], L, C, x.dtype)
                 v = sp._dense_per_l_k(x, g[f"b{i}_Wv_c"], L, C, x.dtype)
-                out = q * k * v
+            elif f"b{i}_Wq_g" in g:  # grouped block-diag projections
+                gC = g[f"b{i}_Wq_g"].shape[0]
+                ng = x.shape[1] // gC
+                q = sp._dense_per_l_k(x, g[f"b{i}_Wq_g"], ng, gC, x.dtype)
+                k = sp._dense_per_l_k(x, g[f"b{i}_Wk_g"], ng, gC, x.dtype)
+                v = sp._dense_per_l_k(x, g[f"b{i}_Wv_g"], ng, gC, x.dtype)
+            else:
+                q = sp._mmd(x, g[f"b{i}_Wq"], x.dtype)
+                k = sp._mmd(x, g[f"b{i}_Wk"], x.dtype)
+                v = sp._mmd(x, g[f"b{i}_Wv"], x.dtype)
+            out = q * k * v
+            if f"b{i}_Wo_c" in g:
                 return x + sp._dense_per_l_k(
                     out, g[f"b{i}_Wo_c"], L, H * D, x.dtype
                 )
-            q = sp._mmd(x, g[f"b{i}_Wq"], x.dtype)
-            k = sp._mmd(x, g[f"b{i}_Wk"], x.dtype)
-            v = sp._mmd(x, g[f"b{i}_Wv"], x.dtype)
-            out = q * k * v
             return x + sp._mmd(out, g[f"b{i}_Wo"], x.dtype)
 
         sp._attention_k = attn_floor
@@ -127,7 +140,7 @@ def main():
     input_emb = compute_input_emb(w, zc.astype(jnp.float32))
     FLAGSHIP_DIMS = dims  # noqa: F811 — chain below closes over `dims`
 
-    if args.z16:
+    if args.z16 and not args.no_flax:
         @jax.jit
         def flax_chain(x0):
             def body(h, _):
