@@ -651,8 +651,14 @@ def _bcast_spec(cols):
 
 
 def _launch(kernel, arrays, blocks, R, n_chunks, out_cols, out_dtype,
-            interpret):
-    """blocks = [(array, spec), ...] leading operands; arrays = weights."""
+            interpret, vmem_mb=110):
+    """blocks = [(array, spec), ...] leading operands; arrays = weights.
+
+    ``vmem_mb`` bounds Mosaic's scoped-VMEM budget; the z16 whole-scan
+    CHURN megakernel (two denoiser chains + the [N, R, L] noise table
+    resident per chunk) needs 123 MB and passes ``vmem_mb=124`` — every
+    other kernel stays at the measured 110 MB default.
+    """
     in_specs = [s for _, s in blocks] + _const_specs(arrays)
     return pl.pallas_call(
         kernel,
@@ -662,7 +668,7 @@ def _launch(kernel, arrays, blocks, R, n_chunks, out_cols, out_dtype,
         out_shape=jax.ShapeDtypeStruct((R * n_chunks, out_cols), out_dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
         ),
     )(*[a for a, _ in blocks], *arrays)
 
@@ -1230,6 +1236,12 @@ def fused_sample_churn(
 
     if _fuse_scan_policy(fuse_scan, BG, return_trajectory):
         R = _mega_rows(rs[-1], BGp)
+        if dims.seq_len > 4:
+            # z16 churn mega: two denoiser chains + the noise table make
+            # the single-chunk small-batch grid exceed the 128 MB VMEM
+            # hardware capacity (measured 142.3M at R=1024); stay on the
+            # default multi-chunk rows, which fit under vmem_mb=124.
+            R = rs[-1]
         # bound the per-chunk [N, R, L] noise block to ~8 MB VMEM
         while (R > 8 and N * R * L * 4 > 8 * 1024 * 1024
                and BGp % (R // 2) == 0):
@@ -1258,7 +1270,7 @@ def fused_sample_churn(
         )
         x0 = _launch(
             kern, [w[n] for n in full_names], blocks, R, BGp // R, L,
-            jnp.float32, interpret,
+            jnp.float32, interpret, vmem_mb=124,
         )
         return x0[:BG, None, :], None
 
